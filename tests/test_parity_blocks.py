@@ -1,0 +1,133 @@
+"""Numerical parity of core blocks vs clean-room torch oracles (fp32 CPU)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from vexpress_tpu.ops.attention import Attention
+from vexpress_tpu.ops.layers import FeedForward, get_timestep_embedding
+from vexpress_tpu.models.blocks import ResnetBlock, SpatialTransformer
+from vexpress_tpu.models.motion_module import TemporalMotionModule
+
+from .oracles.torch_modules import (
+    OAttention,
+    OFeedForward,
+    OMotionModule,
+    OResnetBlock,
+    OSpatialTransformer,
+)
+from .oracles.torch_unet import timestep_embedding
+from .utils import assert_close, flax_params_from_torch, t2j
+
+torch.manual_seed(0)
+
+
+def test_attention_self():
+    o = OAttention(query_dim=32, heads=4, dim_head=8).eval()
+    x = torch.randn(2, 10, 32)
+    with torch.no_grad():
+        ref = o(x)
+    m = Attention(query_dim=32, heads=4, dim_head=8)
+    out = m.apply(flax_params_from_torch(o), jnp.asarray(x.numpy()))
+    assert_close(out, ref.numpy())
+
+
+def test_attention_cross_and_kv_broadcast():
+    o = OAttention(query_dim=32, heads=4, dim_head=8, cross_dim=12).eval()
+    kv = torch.randn(2, 7, 12)
+    x = torch.randn(6, 10, 32)  # 2 videos x 3 frames folded
+    kv_rep = kv.repeat_interleave(3, dim=0)
+    with torch.no_grad():
+        ref = o(x, kv_rep)
+    m = Attention(query_dim=32, heads=4, dim_head=8)
+    params = flax_params_from_torch(o)
+    # explicit per-frame kv
+    out = m.apply(params, jnp.asarray(x.numpy()), jnp.asarray(kv_rep.numpy()))
+    assert_close(out, ref.numpy())
+    # shared kv with implicit query grouping (no KV materialization)
+    out2 = m.apply(params, jnp.asarray(x.numpy()), jnp.asarray(kv.numpy()))
+    assert_close(out2, ref.numpy())
+
+
+def test_feedforward_geglu():
+    o = OFeedForward(24).eval()
+    x = torch.randn(3, 5, 24)
+    with torch.no_grad():
+        ref = o(x)
+    out = FeedForward(24).apply(flax_params_from_torch(o), jnp.asarray(x.numpy()))
+    assert_close(out, ref.numpy())
+
+
+def test_timestep_embedding():
+    t = torch.tensor([0, 1, 10, 999])
+    ref = timestep_embedding(t, 32)
+    out = get_timestep_embedding(jnp.asarray(t.numpy()), 32)
+    assert_close(out, ref.numpy())
+
+
+@pytest.mark.parametrize("in_ch,out_ch", [(16, 16), (16, 32)])
+def test_resnet_block(in_ch, out_ch):
+    o = OResnetBlock(in_ch, out_ch, temb_ch=8, groups=4, eps=1e-5).eval()
+    x = torch.randn(2, in_ch, 6, 6)
+    temb = torch.randn(2, 8)
+    with torch.no_grad():
+        ref = o(x, temb)
+    m = ResnetBlock(out_ch, eps=1e-5, groups=4)
+    out = m.apply(flax_params_from_torch(o), jnp.asarray(t2j(x)), jnp.asarray(temb.numpy()))
+    assert_close(out, t2j(ref))
+
+
+def test_spatial_transformer_reference_mode():
+    o = OSpatialTransformer(16, heads=2, cross_dim=12, groups=4, temporal=False).eval()
+    x = torch.randn(2, 16, 4, 4)
+    ctx = torch.randn(2, 1, 12)
+    with torch.no_grad():
+        ref, banks_ref = o(x, ctx)
+    m = SpatialTransformer(16, heads=2, temporal=False, groups=4)
+    out, banks = m.apply(flax_params_from_torch(o), jnp.asarray(t2j(x)), jnp.asarray(ctx.numpy()))
+    assert_close(out, t2j(ref))
+    assert len(banks) == len(banks_ref) == 1
+    assert_close(banks[0], banks_ref[0].numpy())
+
+
+def test_spatial_transformer_temporal_mode():
+    B, F = 2, 3
+    o = OSpatialTransformer(16, heads=2, cross_dim=12, groups=4, temporal=True).eval()
+    x = torch.randn(B * F, 16, 4, 4)
+    audio = torch.randn(B * F, 5, 12)
+    ref_kv = torch.randn(B, 9, 16)
+    with torch.no_grad():
+        ref = o(x, audio, ref_kv.repeat_interleave(F, dim=0), 0.9, 2.0)
+    m = SpatialTransformer(16, heads=2, temporal=True, groups=4)
+    out = m.apply(
+        flax_params_from_torch(o),
+        jnp.asarray(t2j(x)),
+        jnp.asarray(audio.numpy()),
+        (jnp.asarray(ref_kv.numpy()),),
+        jnp.float32(0.9),
+        jnp.float32(2.0),
+    )
+    assert_close(out, t2j(ref))
+
+
+def test_motion_module():
+    B, F = 2, 4
+    o = OMotionModule(16, heads=2, num_blocks=1, max_len=8, groups=4).eval()
+    x = torch.randn(B * F, 16, 4, 4)
+    with torch.no_grad():
+        ref = o(x, F)
+    m = TemporalMotionModule(16, heads=2, num_transformer_block=1, max_len=8, groups=4)
+    out = m.apply(flax_params_from_torch(o), jnp.asarray(t2j(x)), F)
+    assert_close(out, t2j(ref))
+
+
+def test_motion_module_zero_init_is_identity():
+    import jax
+
+    m = TemporalMotionModule(16, heads=2, num_transformer_block=1, max_len=8, groups=4)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 4, 4, 16)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x, 2)
+    out = m.apply(params, x, 2)
+    assert_close(out, x)

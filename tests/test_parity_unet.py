@@ -1,0 +1,146 @@
+"""Full-model numerical parity: tiny-config reference 2D UNet, 3D denoising
+UNet, VKpsGuider, and AudioProjection vs clean-room torch oracles — including
+the torch-checkpoint key mapping."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from vexpress_tpu.models.unet_2d import ReferenceUNet2D
+from vexpress_tpu.models.unet_3d import DenoisingUNet3D, UNetConfig
+from vexpress_tpu.models.vkps_guider import VKpsGuider
+from vexpress_tpu.models.audio_projection import AudioProjection
+
+from .oracles.torch_unet import OUNet
+from .oracles.torch_conditioning import OAudioProjection, OVKpsGuider
+from .utils import assert_close, flax_params_from_torch, t2j
+
+torch.manual_seed(0)
+
+TINY = dict(
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(8, 16, 16, 16),
+    layers_per_block=2,
+    attention_head_dim=2,
+    cross_attention_dim=12,
+    norm_num_groups=4,
+    norm_eps=1e-5,
+    use_motion_module=True,
+    motion_module_mid_block=True,
+    motion_heads=2,
+    motion_blocks=1,
+    motion_max_len=8,
+)
+
+TINY_CFG = UNetConfig(
+    in_channels=4,
+    out_channels=4,
+    block_out_channels=(8, 16, 16, 16),
+    layers_per_block=2,
+    attention_head_dim=2,
+    cross_attention_dim=12,
+    norm_num_groups=4,
+    norm_eps=1e-5,
+    use_motion_module=True,
+    motion_module_mid_block=True,
+    motion_num_attention_heads=2,
+    motion_num_transformer_block=1,
+    motion_max_len=8,
+)
+
+
+def test_reference_unet_2d_parity():
+    o = OUNet(TINY, temporal=False).eval()
+    B, H, W = 2, 16, 16
+    x = torch.randn(B, 4, H, W)
+    t = torch.zeros(B, dtype=torch.long)
+    ctx = torch.zeros(B, 1, 12)
+    with torch.no_grad():
+        ref_out, ref_banks = o(x, t, ctx)
+
+    m = ReferenceUNet2D(TINY_CFG)
+    params = flax_params_from_torch(o)
+    out, banks = m.apply(params, jnp.asarray(t2j(x)), jnp.asarray(t.numpy()), jnp.asarray(ctx.numpy()))
+
+    assert len(banks) == len(ref_banks) == TINY_CFG.num_ref_features
+    for i, (bj, bt) in enumerate(zip(banks, ref_banks)):
+        assert_close(bj, bt.numpy(), atol=1e-4, rtol=1e-4, msg=f"bank {i}")
+    assert_close(out, t2j(ref_out), atol=1e-4, rtol=1e-4)
+
+
+def test_denoising_unet_3d_parity():
+    o = OUNet(TINY, temporal=True).eval()
+    B, F, H, W = 2, 3, 16, 16
+    x = torch.randn(B * F, 4, H, W)
+    t = torch.randint(0, 1000, (B,))
+    audio = torch.randn(B * F, 5, 12)
+    kps = torch.randn(B * F, 8, H, W)
+
+    # reference features, one per cross-attn block, shaped per block resolution
+    shapes = TINY_CFG.ref_feature_shapes(H, W)
+    ref_feats = [torch.randn(B, l, c) for (l, c) in shapes]
+    ref_feats_rep = [r.repeat_interleave(F, dim=0) for r in ref_feats]
+
+    with torch.no_grad():
+        ref_out = o(x, t, audio, ref_feats_rep, kps_features=kps,
+                    ref_scale=0.9, audio_scale=2.0, frames=F)
+
+    m = DenoisingUNet3D(TINY_CFG)
+    params = flax_params_from_torch(o)
+    out = m.apply(
+        params,
+        jnp.asarray(t2j(x)).reshape(B, F, H, W, 4),
+        jnp.asarray(t.numpy()),
+        jnp.asarray(audio.numpy()).reshape(B, F, 5, 12),
+        tuple(jnp.asarray(r.numpy()) for r in ref_feats),
+        jnp.asarray(t2j(kps)).reshape(B, F, H, W, 8),
+        0.9,
+        2.0,
+    )
+    ref_np = t2j(ref_out).reshape(B, F, H, W, 4)
+    assert_close(out, ref_np, atol=2e-4, rtol=2e-4)
+
+
+def test_ref_feature_shapes_match_reference_net_banks():
+    o = OUNet(TINY, temporal=False).eval()
+    B, H, W = 1, 16, 16
+    with torch.no_grad():
+        _, banks = o(torch.randn(B, 4, H, W), torch.zeros(B, dtype=torch.long), torch.zeros(B, 1, 12))
+    shapes = TINY_CFG.ref_feature_shapes(H, W)
+    assert len(banks) == len(shapes)
+    for bank, (l, c) in zip(banks, shapes):
+        assert tuple(bank.shape) == (B, l, c)
+
+
+def test_vkps_guider_parity():
+    o = OVKpsGuider(embed_channels=8, block_out_channels=(4, 4, 8, 8)).eval()
+    B, F, H, W = 1, 2, 16, 16
+    x = torch.rand(B * F, 3, H, W)
+    with torch.no_grad():
+        ref = o(x)
+    m = VKpsGuider(conditioning_embedding_channels=8, block_out_channels=(4, 4, 8, 8))
+    out = m.apply(flax_params_from_torch(o), jnp.asarray(t2j(x)).reshape(B, F, H, W, 3))
+    assert_close(out.reshape(B * F, H // 8, W // 8, 8), t2j(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_vkps_guider_zero_init_output():
+    m = VKpsGuider(conditioning_embedding_channels=8, block_out_channels=(4, 4, 8, 8))
+    x = jnp.ones((1, 2, 16, 16, 3))
+    params = m.init(jax.random.PRNGKey(0), x)
+    out = m.apply(params, x)
+    assert np.abs(np.asarray(out)).max() == 0.0
+
+
+def test_audio_projection_parity():
+    o = OAudioProjection(dim=16, depth=2, dim_head=4, heads=2, num_queries=5,
+                         embedding_dim=12, output_dim=12, ff_mult=2, max_seq_len=10).eval()
+    x = torch.randn(6, 10, 12)
+    with torch.no_grad():
+        ref = o(x)
+    m = AudioProjection(dim=16, depth=2, dim_head=4, heads=2, num_queries=5,
+                        embedding_dim=12, output_dim=12, ff_mult=2, max_seq_len=10)
+    out = m.apply(flax_params_from_torch(o), jnp.asarray(x.numpy()))
+    assert_close(out, ref.numpy(), atol=1e-5, rtol=1e-5)

@@ -1,0 +1,175 @@
+"""The 3D denoising UNet (reference: modules/unet_3d.py UNet3DConditionModel).
+
+SD1.5 topology inflated to video: per-frame spatial convs/attention (frames
+folded into batch), reference KV injection via attn1_5, audio cross-attention
+via attn2, and AnimateDiff temporal motion modules after each spatial
+transformer (inference_v2.yaml unet_additional_kwargs).
+
+Layout: video tensors are (B, F, H, W, C) channels-last; reference features
+arrive as an ordered tuple of (B, L_p, C_p) tensors (down->mid->up traversal)
+produced by `ReferenceUNet2D` — the functional replacement for the bank
+monkey-patching of modules/mutual_self_attention.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.layers import TimestepEmbedding, get_timestep_embedding
+from .blocks import conv, group_norm
+from .unet_blocks import DownBlock, MidBlock, RefFeatures, UpBlock
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """SD1.5 UNet geometry + V-Express additions (unet_additional_kwargs)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    attention_head_dim: int = 8  # SD1.5 naming: this is the HEAD COUNT
+    cross_attention_dim: int = 768
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    # V-Express additions (inference_v2.yaml:1-22)
+    use_motion_module: bool = True
+    motion_module_mid_block: bool = True
+    motion_num_attention_heads: int = 8
+    motion_num_transformer_block: int = 1
+    motion_max_len: int = 32
+
+    @property
+    def num_ref_features(self) -> int:
+        """Number of bank features = number of cross-attn transformer blocks."""
+        n_down = 3 * self.layers_per_block  # blocks 0..2 have attention
+        n_mid = 1
+        n_up = 3 * (self.layers_per_block + 1)  # up blocks 1..3
+        return n_down + n_mid + n_up
+
+    def ref_feature_shapes(self, height: int, width: int) -> Tuple[Tuple[int, int], ...]:
+        """(seq_len, channels) of each reference feature at latent res (h, w)."""
+        shapes = []
+        ch = self.block_out_channels
+        # down blocks with attention: 0, 1, 2 at resolutions /1, /2, /4
+        for i in range(3):
+            h, w = height >> i, width >> i
+            shapes += [(h * w, ch[i])] * self.layers_per_block
+        # mid at deepest resolution
+        hd, wd = height >> 3, width >> 3
+        shapes.append((hd * wd, ch[-1]))
+        # up blocks 1, 2, 3 at resolutions /4, /2, /1
+        for j, i in enumerate((2, 1, 0)):
+            h, w = height >> (2 - j), width >> (2 - j)
+            shapes += [(h * w, ch[i])] * (self.layers_per_block + 1)
+        return tuple(shapes)
+
+
+class DenoisingUNet3D(nn.Module):
+    config: UNetConfig = UNetConfig()
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jax.Array,  # (B, F, H, W, C_in) latent video
+        timesteps: jax.Array,  # (B,) int
+        audio_tokens: jax.Array,  # (B, F, L_audio, cross_dim)
+        ref_features: Sequence[jax.Array],  # tuple of (B, L_p, C_p)
+        kps_features: Optional[jax.Array] = None,  # (B, F, H, W, block0_ch)
+        ref_scale: float | jax.Array = 1.0,
+        audio_scale: float | jax.Array = 1.0,
+    ) -> jax.Array:
+        cfg = self.config
+        b, f, h, w, _ = sample.shape
+        ch = cfg.block_out_channels
+        heads = cfg.attention_head_dim
+        dt = self.dtype
+
+        # time embedding (unet_3d.py:464-470), shared across frames
+        t_emb = get_timestep_embedding(
+            jnp.broadcast_to(jnp.asarray(timesteps), (b,)), ch[0], cfg.flip_sin_to_cos, cfg.freq_shift
+        ).astype(dt)
+        temb = TimestepEmbedding(ch[0] * 4, dtype=dt, name="time_embedding")(t_emb)
+        temb = jnp.repeat(temb, f, axis=0)  # (B*F, 4*ch0)
+
+        # fold frames into batch
+        x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(dt)
+        ctx = audio_tokens.reshape(b * f, audio_tokens.shape[2], audio_tokens.shape[3]).astype(dt)
+        refs = RefFeatures([r.astype(dt) for r in ref_features])
+        scales = (jnp.asarray(ref_scale, dtype=dt), jnp.asarray(audio_scale, dtype=dt))
+
+        mkw = dict(
+            use_motion=cfg.use_motion_module,
+            motion_heads=cfg.motion_num_attention_heads,
+            motion_blocks=cfg.motion_num_transformer_block,
+            motion_max_len=cfg.motion_max_len,
+        )
+        common = dict(
+            temporal=True,
+            eps=cfg.norm_eps,
+            groups=cfg.norm_num_groups,
+            dtype=dt,
+            heads=heads,
+            num_layers=cfg.layers_per_block,
+        )
+
+        # conv_in + kps conditioning (unet_3d.py:485-487)
+        x = conv(ch[0], 3, "conv_in", dtype=dt)(x)
+        if kps_features is not None:
+            x = x + kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
+
+        # down
+        skips = [x]
+        for i in range(4):
+            is_final = i == 3
+            x, states = DownBlock(
+                ch[i],
+                has_attention=not is_final,
+                add_downsample=not is_final,
+                **{**common, **mkw},
+                name=f"down_blocks_{i}",
+            )(x, temb, ctx, refs, scales, f)
+            skips.extend(states)
+
+        # mid
+        x = MidBlock(
+            ch[-1],
+            num_layers=1,
+            heads=heads,
+            temporal=True,
+            use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
+            motion_heads=cfg.motion_num_attention_heads,
+            motion_blocks=cfg.motion_num_transformer_block,
+            motion_max_len=cfg.motion_max_len,
+            eps=cfg.norm_eps,
+            groups=cfg.norm_num_groups,
+            dtype=dt,
+            name="mid_block",
+        )(x, temb, ctx, refs, scales, f)
+
+        # up: types (Up, CrossAttn, CrossAttn, CrossAttn), channels reversed
+        rev = list(reversed(ch))
+        up_common = dict(common, num_layers=cfg.layers_per_block + 1)
+        for i in range(4):
+            is_final = i == 3
+            x = UpBlock(
+                rev[i],
+                has_attention=i != 0,
+                add_upsample=not is_final,
+                **{**up_common, **mkw},
+                name=f"up_blocks_{i}",
+            )(x, skips, temb, ctx, refs, scales, f)
+
+        # out
+        x = group_norm(cfg.norm_num_groups, cfg.norm_eps, "conv_norm_out", dt)(x)
+        x = jax.nn.silu(x)
+        x = conv(cfg.out_channels, 3, "conv_out", dtype=dt)(x)
+        return x.reshape(b, f, h, w, cfg.out_channels)

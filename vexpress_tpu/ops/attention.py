@@ -1,0 +1,94 @@
+"""Multi-head attention primitives.
+
+The four attention flavors of the V-Express stack (spatial self-attention,
+reference KV injection `attn1_5`, audio cross-attention `attn2`, and temporal
+motion attention) all reduce to this one batched softmax-attention core
+(reference math: diffusers `Attention` as used in
+/root/reference/modules/attention.py:321-395 and
+/root/reference/modules/motion_module.py:280-388).
+
+Layout is (batch, seq, channels); heads are folded into the batch only inside
+the kernel so XLA sees large, MXU-friendly matmuls. Softmax runs in float32
+regardless of the compute dtype (TPU bf16-safe).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Scaled dot-product attention over (B, L, H*D) tensors.
+
+    Softmax statistics are computed in float32; output is cast back to the
+    input dtype. Equivalent to torch.nn.functional.scaled_dot_product_attention
+    on (B, H, L, D) with default scale.
+    """
+    b, lq, inner = q.shape
+    lk = k.shape[1]
+    d = inner // heads
+    if scale is None:
+        scale = d**-0.5
+
+    q = q.reshape(b, lq, heads, d)
+    k = k.reshape(b, lk, heads, d)
+    v = v.reshape(b, lk, heads, d)
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+    return out.reshape(b, lq, inner)
+
+
+class Attention(nn.Module):
+    """Multi-head attention mirroring diffusers `Attention`.
+
+    Parameter names map 1:1 onto torch checkpoint keys:
+      to_q/to_k/to_v (no bias), to_out_0 (bias)  <->  to_q/to_k/to_v/to_out.0
+    """
+
+    query_dim: int
+    heads: int = 8
+    dim_head: int = 64
+    cross_attention_dim: Optional[int] = None  # informational; kv dim inferred
+    qkv_bias: bool = False
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        hidden_states: jax.Array,
+        encoder_hidden_states: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
+        inner = self.heads * self.dim_head
+        dense = functools.partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
+        q = dense(inner, use_bias=self.qkv_bias, name="to_q")(hidden_states)
+        k = dense(inner, use_bias=self.qkv_bias, name="to_k")(kv)
+        v = dense(inner, use_bias=self.qkv_bias, name="to_v")(kv)
+        if k.shape[0] != q.shape[0]:
+            # KV shared across a folded query axis (e.g. reference KV shared by
+            # all frames of a video): group the queries instead of materializing
+            # KV copies. Exact — softmax normalizes over the KV length only.
+            bq, lq, _ = q.shape
+            bkv = k.shape[0]
+            assert bq % bkv == 0, f"query batch {bq} not a multiple of kv batch {bkv}"
+            g = bq // bkv
+            out = sdpa(q.reshape(bkv, g * lq, inner), k, v, self.heads)
+            out = out.reshape(bq, lq, inner)
+        else:
+            out = sdpa(q, k, v, self.heads)
+        return dense(self.query_dim, use_bias=self.out_bias, name="to_out_0")(out)
