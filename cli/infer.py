@@ -1,0 +1,198 @@
+#!/usr/bin/env python
+"""V-Express TPU inference CLI.
+
+Flag-compatible with the reference entry point (/root/reference/inference.py:27-74)
+minus torch-specific options; audio decode and A/V muxing use the in-process
+native media runtime instead of torchaudio/ffmpeg subprocesses.
+
+Example:
+  python cli/infer.py \
+    --reference_image_path test_samples/AOC/ref.jpg \
+    --audio_path test_samples/AOC/aud.mp3 \
+    --kps_path test_samples/AOC/kps.pth \
+    --retarget_strategy fix_face \
+    --output_path output/AOC.mp4
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--vae_path", type=str, default="./model_ckpts/sd-vae-ft-mse/")
+    p.add_argument("--audio_encoder_path", type=str, default="./model_ckpts/wav2vec2-base-960h/")
+    p.add_argument("--insightface_model_path", type=str, default="./model_ckpts/insightface_models/")
+
+    p.add_argument("--denoising_unet_path", type=str, default="./model_ckpts/v-express/denoising_unet.bin")
+    p.add_argument("--reference_net_path", type=str, default="./model_ckpts/v-express/reference_net.bin")
+    p.add_argument("--v_kps_guider_path", type=str, default="./model_ckpts/v-express/v_kps_guider.bin")
+    p.add_argument("--audio_projection_path", type=str, default="./model_ckpts/v-express/audio_projection.bin")
+    p.add_argument("--motion_module_path", type=str, default="./model_ckpts/v-express/motion_module.bin")
+
+    p.add_argument("--retarget_strategy", type=str, default="fix_face",
+                   help="{fix_face, no_retarget, offset_retarget, naive_retarget}")
+
+    p.add_argument("--dtype", type=str, default="bf16", help="{bf16, fp32}")
+    p.add_argument("--num_pad_audio_frames", type=int, default=2)
+    p.add_argument("--standard_audio_sampling_rate", type=int, default=16000)
+
+    p.add_argument("--reference_image_path", type=str, required=True)
+    p.add_argument("--audio_path", type=str, required=True)
+    p.add_argument("--kps_path", type=str, default="")
+    p.add_argument("--output_path", type=str, default="./output/result.mp4")
+
+    p.add_argument("--test_stage", type=str, default="stage_3")
+    p.add_argument("--image_width", type=int, default=512)
+    p.add_argument("--image_height", type=int, default=512)
+    p.add_argument("--fps", type=float, default=30.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--guidance_scale", type=float, default=3.5)
+    p.add_argument("--context_frames", type=int, default=24)
+    p.add_argument("--context_overlap", type=int, default=4)
+    p.add_argument("--reference_attention_weight", type=float, default=0.95)
+    p.add_argument("--audio_attention_weight", type=float, default=3.0)
+    p.add_argument("--window_group", type=int, default=2,
+                   help="context windows per UNet call (memory/throughput knob)")
+    p.add_argument("--no_median_filter", action="store_true")
+    return p.parse_args()
+
+
+def load_kps_sequence(path: str) -> np.ndarray:
+    """kps.pth is a torch-saved list of (3, 2) arrays (inference.py:269)."""
+    import torch
+
+    seq = torch.load(path, map_location="cpu", weights_only=False)
+    return np.asarray([np.asarray(k) for k in seq], dtype=np.float64)
+
+
+def detect_reference_kps(image_path: str, height: int, width: int, insightface_root: str):
+    """insightface face detection (inference.py:228-240); optional dependency."""
+    try:
+        from insightface.app import FaceAnalysis
+        import cv2
+    except ImportError:
+        return None
+    app = FaceAnalysis(providers=["CPUExecutionProvider"], root=insightface_root)
+    app.prepare(ctx_id=0, det_size=(height, width))
+    img = cv2.imread(image_path)
+    img = cv2.resize(img, (width, height))
+    faces = app.get(img)
+    if not faces:
+        raise RuntimeError(f"no face detected in {image_path}")
+    return np.asarray(faces[0].kps[:3])
+
+
+def main():
+    args = parse_args()
+    start_time = time.time()
+
+    import jax.numpy as jnp
+
+    from vexpress_tpu.utils.runtime import enable_compilation_cache
+    enable_compilation_cache()
+
+    from vexpress_tpu.io.loaders import default_pipeline_models, load_pipeline
+    from vexpress_tpu.pipelines.context import compute_num_context, compute_video_length
+    from vexpress_tpu.pipelines.kps import interpolate_kps_sequence, render_kps_sequence, retarget_kps
+    from vexpress_tpu.pipelines.media import load_image_rgb, save_video
+    from vexpress_tpu.utils.media_native import load_audio
+
+    dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
+    models = default_pipeline_models(dtype=dtype)
+
+    pipeline = load_pipeline(
+        models=models,
+        vae_path=args.vae_path,
+        audio_encoder_path=args.audio_encoder_path,
+        reference_net_path=args.reference_net_path,
+        denoising_unet_path=args.denoising_unet_path,
+        motion_module_path=args.motion_module_path,
+        v_kps_guider_path=args.v_kps_guider_path,
+        audio_projection_path=args.audio_projection_path,
+        param_dtype=dtype,
+    )
+
+    H, W = args.image_height, args.image_width
+    reference_image = load_image_rgb(args.reference_image_path, H, W)
+
+    audio = load_audio(args.audio_path, args.standard_audio_sampling_rate)
+    duration = len(audio) / args.standard_audio_sampling_rate
+    init_video_length = int(duration * args.fps)
+    video_length = compute_video_length(init_video_length, args.context_frames, args.context_overlap)
+    fps = video_length / duration
+    print(f"[vexpress] audio {duration:.2f}s -> video_length {video_length} (fps {fps:.2f}, "
+          f"{compute_num_context(init_video_length, args.context_frames, args.context_overlap)} windows)")
+
+    kps_sequence = None
+    if args.kps_path:
+        kps_sequence = load_kps_sequence(args.kps_path)
+        print(f"[vexpress] kps sequence length {len(kps_sequence)}")
+        kps_sequence = interpolate_kps_sequence(kps_sequence, video_length)
+
+    reference_kps = detect_reference_kps(args.reference_image_path, H, W, args.insightface_model_path)
+    if reference_kps is None and kps_sequence is not None:
+        # insightface unavailable: approximate the reference face kps by the
+        # first target frame (documented fallback; install insightface for
+        # exact reference-repo behavior)
+        reference_kps = kps_sequence[0]
+        print("[vexpress] insightface unavailable; using first kps frame as reference kps")
+
+    strategy = args.retarget_strategy
+    if strategy == "fix_face":
+        if reference_kps is None:
+            raise SystemExit("fix_face needs reference kps: install insightface or pass --kps_path")
+        kps_sequence = np.tile(np.asarray(reference_kps), (video_length, 1, 1))
+    elif strategy == "no_retarget":
+        if kps_sequence is None:
+            raise SystemExit("no_retarget requires --kps_path")
+    elif strategy == "offset_retarget":
+        kps_sequence = retarget_kps(reference_kps, kps_sequence, only_offset=True)
+    elif strategy == "naive_retarget":
+        kps_sequence = retarget_kps(reference_kps, kps_sequence, only_offset=False)
+    else:
+        raise SystemExit(f"unknown retarget strategy {strategy}")
+
+    kps_images = render_kps_sequence(H, W, kps_sequence).astype(np.float32) / 255.0
+
+    def progress(i, t):
+        print(f"[vexpress] denoise step {i + 1}/{args.num_inference_steps} (t={t})", flush=True)
+
+    video = pipeline(
+        reference_image=reference_image,
+        kps_images=kps_images,
+        audio_waveform=audio,
+        width=W,
+        height=H,
+        video_length=video_length,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        context_frames=args.context_frames,
+        context_overlap=args.context_overlap,
+        reference_attention_weight=args.reference_attention_weight,
+        audio_attention_weight=args.audio_attention_weight,
+        num_pad_audio_frames=args.num_pad_audio_frames,
+        seed=args.seed,
+        window_group=args.window_group,
+        progress_callback=progress,
+    )
+
+    save_video(video, args.audio_path, args.output_path, fps,
+               apply_median_filter=not args.no_median_filter)
+    consumed = time.time() - start_time
+    print(f"The generated video has been saved at {args.output_path}. "
+          f"The generation time is {consumed:.1f} seconds. "
+          f"The generation FPS is {video.shape[0] / consumed:.2f}.")
+
+
+if __name__ == "__main__":
+    main()

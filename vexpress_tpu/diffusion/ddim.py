@@ -131,6 +131,7 @@ class DDIMScheduler:
         if eta != 0.0:
             raise NotImplementedError("eta != 0 not supported (reference uses eta=0)")
         cfg = self.config
+        timestep = jnp.asarray(timestep).astype(jnp.int32)
         prev_timestep = timestep - cfg.num_train_timesteps // num_inference_steps
 
         alpha_prod_t = self._alpha_prod(timestep)

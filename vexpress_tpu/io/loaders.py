@@ -1,0 +1,189 @@
+"""Checkpoint loaders: released V-Express torch weights -> pipeline params.
+
+Mirrors the reference's model loading (inference.py:77-136, 159-201):
+five per-module torch files plus the HF VAE and wav2vec2 directories. All are
+converted to flax param trees via io.torch_import; missing files fall back to
+random initialization (useful for benchmarks and dry runs).
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet_3d import UNetConfig
+from ..models.vae import VAEConfig
+from ..models.wav2vec2 import Wav2Vec2Config, convert_wav2vec2_state_dict
+from ..pipelines.pipeline import PipelineModels, VExpressPipeline
+from .torch_import import convert_torch_state_dict, load_torch_checkpoint, remap_lineage
+
+AUDIO_PROJECTION_KWARGS = dict(  # inference.py:116-126
+    dim=768, depth=4, dim_head=64, heads=12, num_queries=5,
+    embedding_dim=768, output_dim=768, ff_mult=4, max_seq_len=10,
+)
+
+
+def default_pipeline_models(dtype=jnp.bfloat16) -> PipelineModels:
+    return PipelineModels(
+        unet_config=UNetConfig(),
+        vae_config=VAEConfig(),
+        wav2vec2_config=Wav2Vec2Config(),
+        audio_projection_kwargs=AUDIO_PROJECTION_KWARGS,
+        dtype=dtype,
+    )
+
+
+def _find_weights_file(directory: str) -> Optional[str]:
+    d = pathlib.Path(directory)
+    for name in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",
+                 "model.safetensors", "pytorch_model.bin"):
+        if (d / name).exists():
+            return str(d / name)
+    return None
+
+
+def _host_fill(tree_shapes, seed: int = 0) -> Dict[str, Any]:
+    """Fill a ShapeDtypeStruct tree with small random host values.
+
+    Full-model flax .init() builds enormous device init programs (minutes of
+    compile over the axon TPU tunnel); for checkpoint loading we only need the
+    tree structure + shapes, so fill on host and overwrite with real weights.
+    """
+    rng = np.random.default_rng(seed)
+
+    def fill(leaf):
+        shape = tuple(leaf.shape)
+        if not shape or shape[-1] == 0:
+            return np.zeros(shape, np.float32)
+        if len(shape) == 1:  # biases / norm params
+            return np.zeros(shape, np.float32)
+        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+
+    return jax.tree_util.tree_map(fill, tree_shapes)
+
+
+def _init_params(pipe: VExpressPipeline, models: PipelineModels) -> Dict[str, Any]:
+    """Param trees with correct shapes (host-initialized; see _host_fill)."""
+    key = jax.random.PRNGKey(0)
+    h = w = 64
+    cfg = models.unet_config
+    cross = cfg.cross_attention_dim
+    shapes: Dict[str, Any] = {}
+    shapes["vae"] = jax.eval_shape(pipe.vae.init, key, jnp.zeros((1, 8 * h, 8 * w, 3)))
+    shapes["reference_net"] = jax.eval_shape(
+        pipe.reference_net.init, key, jnp.zeros((1, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 1, cross)),
+    )
+    rf_shapes = cfg.ref_feature_shapes(h, w)
+    ref_feats = tuple(jnp.zeros((1, l, c)) for l, c in rf_shapes)
+    shapes["denoising_unet"] = jax.eval_shape(
+        pipe.denoising_unet.init, key, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 1, 5, cross)), ref_feats,
+        jnp.zeros((1, 1, h, w, cfg.block_out_channels[0])),
+    )
+    shapes["v_kps_guider"] = jax.eval_shape(pipe.v_kps_guider.init, key, jnp.zeros((1, 1, 8 * h, 8 * w, 3)))
+    shapes["wav2vec2"] = jax.eval_shape(pipe.audio_encoder.init, key, jnp.zeros((1, 16000)))
+    shapes["audio_projection"] = jax.eval_shape(
+        pipe.audio_projection.init, key,
+        jnp.zeros((1, 10, models.audio_projection_kwargs.get("embedding_dim", 768))),
+    )
+    return {k: _host_fill(v, seed=i) for i, (k, v) in enumerate(shapes.items())}
+
+
+def _merge(dst, src, path=""):
+    """Merge imported params into the init tree (strict on shapes, tolerant of
+    missing keys — the reference loads with strict=False, inference.py:79)."""
+    n_loaded = 0
+    for k, v in src.items():
+        if k not in dst:
+            continue
+        if isinstance(v, dict):
+            n_loaded += _merge(dst[k], v, f"{path}/{k}")
+        else:
+            if tuple(dst[k].shape) != tuple(np.shape(v)):
+                raise ValueError(f"shape mismatch at {path}/{k}: {dst[k].shape} vs {np.shape(v)}")
+            dst[k] = jnp.asarray(v)
+            n_loaded += 1
+    return n_loaded
+
+
+def load_pipeline(
+    models: Optional[PipelineModels] = None,
+    vae_path: Optional[str] = None,
+    audio_encoder_path: Optional[str] = None,
+    reference_net_path: Optional[str] = None,
+    denoising_unet_path: Optional[str] = None,
+    motion_module_path: Optional[str] = None,
+    v_kps_guider_path: Optional[str] = None,
+    audio_projection_path: Optional[str] = None,
+    denoising_unet_state_dict_type: str = "new_attn",
+    scheduler=None,
+    verbose: bool = True,
+    param_dtype=None,
+) -> VExpressPipeline:
+    """Build a pipeline with weights loaded from torch checkpoints.
+
+    param_dtype: storage dtype on device (None = float32 master copies;
+    pass jnp.bfloat16 for inference to halve HBM, matching the reference's
+    fp16 inference, inference.py:150).
+    """
+    models = models or default_pipeline_models()
+    pipe = VExpressPipeline(models, params={}, scheduler=scheduler)
+    params = _init_params(pipe, models)
+
+    def log(msg):
+        if verbose:
+            print(f"[vexpress] {msg}")
+
+    def load_into(name, sd):
+        imported = {"params": convert_torch_state_dict(sd)}
+        n = _merge(params[name], imported)
+        log(f"loaded {n} tensors into {name}")
+
+    def resolve(path):
+        if not path:
+            return None
+        if os.path.isdir(path):
+            return _find_weights_file(path)
+        if os.path.isfile(path):
+            return path
+        log(f"checkpoint path {path} not found — using random init")
+        return None
+
+    f = resolve(vae_path)
+    if f:
+        load_into("vae", load_torch_checkpoint(f))
+    f = resolve(audio_encoder_path)
+    if f:
+        sd = load_torch_checkpoint(f)
+        sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
+        imported = {"params": convert_wav2vec2_state_dict(sd)}
+        n = _merge(params["wav2vec2"], imported)
+        log(f"loaded {n} tensors into wav2vec2")
+    f = resolve(reference_net_path)
+    if f:
+        load_into("reference_net", load_torch_checkpoint(f))
+    f = resolve(denoising_unet_path)
+    if f:
+        sd = remap_lineage(load_torch_checkpoint(f), denoising_unet_state_dict_type)
+        load_into("denoising_unet", sd)
+    f = resolve(motion_module_path)
+    if f:
+        # motion module weights overlay onto the denoising unet (inference.py:93)
+        load_into("denoising_unet", load_torch_checkpoint(f))
+    f = resolve(v_kps_guider_path)
+    if f:
+        load_into("v_kps_guider", load_torch_checkpoint(f))
+    f = resolve(audio_projection_path)
+    if f:
+        load_into("audio_projection", load_torch_checkpoint(f))
+
+    if param_dtype is not None:
+        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=param_dtype), params)
+    pipe.params = jax.device_put(params)
+    return pipe

@@ -1,0 +1,128 @@
+"""Device-mesh utilities: the TPU-native replacement for the reference's
+NCCL/DeepSpeed stack (train_stage.sh:15-25, zero2_config.json).
+
+Three first-class components (SURVEY.md §2.4):
+  * DP mesh creation over ICI (`create_mesh`)
+  * ZeRO-2-equivalent optimizer-state sharding (`shard_opt_state_zero2`):
+    optimizer states are sharded over the DP axis; XLA's SPMD partitioner then
+    reduce-scatters gradients into the sharded update computation and
+    all-gathers the parameter updates — the collectives DeepSpeed ZeRO-2
+    issues manually (allgather_partitions, reduce_scatter, overlap_comm).
+  * Window-parallel inference (`window_parallel_step`): context windows are a
+    batch axis sharded over the mesh; per-frame blended noise predictions are
+    psum'd. This implements properly what the reference's
+    `--do_multi_devices_inference` flag only gestures at (inference.py:143-149,
+    v_express_pipeline.py:433 — the parameter is unused there).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def _zero2_spec(leaf: jax.Array, n_shards: int, axis_name: str) -> P:
+    """Shard the largest axis divisible by n_shards; replicate otherwise."""
+    shape = np.shape(leaf)
+    if not shape:
+        return P()
+    order = sorted(range(len(shape)), key=lambda i: -shape[i])
+    for i in order:
+        if shape[i] % n_shards == 0 and shape[i] >= n_shards:
+            spec = [None] * len(shape)
+            spec[i] = axis_name
+            return P(*spec)
+    return P()
+
+
+def shard_opt_state_zero2(opt_state, mesh: Mesh, axis_name: str = "dp"):
+    """NamedSharding pytree for an optax state: momenta sharded over DP
+    (ZeRO-2 equivalent). Use with jax.jit(..., out_shardings=...) or
+    device_put."""
+    n = mesh.shape[axis_name]
+
+    def spec_of(leaf):
+        return NamedSharding(mesh, _zero2_spec(leaf, n, axis_name))
+
+    return jax.tree_util.tree_map(spec_of, opt_state)
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def window_parallel_step(
+    predict_fn,
+    scheduler,
+    windows: np.ndarray,
+    inv_counts: np.ndarray,
+    num_inference_steps: int,
+    mesh: Mesh,
+    axis_name: str = "dp",
+    window_group: int = 1,
+):
+    """Build a mesh-sharded blended denoise step.
+
+    Pads the window set to n_devices * window_group * k, shards the window
+    axis over the mesh, scatter-adds locally and psums across devices. The
+    latents and conditioning stay replicated (they are small next to UNet
+    activations); the UNet batch is the sharded window axis.
+    """
+    shard_map = jax.shard_map
+
+    n_dev = mesh.shape[axis_name]
+    n_windows, win_size = windows.shape
+    per_dev = -(-n_windows // n_dev)
+    per_dev = -(-per_dev // window_group) * window_group  # multiple of group
+    total = per_dev * n_dev
+    pad = total - n_windows
+
+    win_idx = np.concatenate([windows, np.zeros((pad, win_size), np.int32)]) if pad else windows
+    win_mask = np.concatenate([np.ones(n_windows, np.float32), np.zeros(pad, np.float32)])
+    win_w = inv_counts[win_idx] * win_mask[:, None]  # (total, win)
+    win_idx = win_idx.astype(np.int32)
+
+    n_groups_local = per_dev // window_group
+
+    def local_blend(latents, t, idx_shard, w_shard, cond):
+        """idx_shard: (per_dev, win) on this device."""
+        idx_g = idx_shard.reshape(n_groups_local, window_group, win_size)
+        w_g = w_shard.reshape(n_groups_local, window_group, win_size)
+
+        def one_group(acc, gi):
+            w_idx = idx_g[gi]
+            lat = latents[w_idx]
+            pred = predict_fn(lat, t, w_idx, cond)
+            pred = pred.astype(jnp.float32) * w_g[gi][..., None, None, None]
+            return acc.at[w_idx].add(pred), None
+
+        acc = jnp.zeros_like(latents, dtype=jnp.float32)
+        # the carry becomes device-varying after accumulating this device's
+        # window shard; mark it as such for shard_map's vma type system
+        acc = jax.lax.pcast(acc, (axis_name,), to="varying")
+        acc, _ = jax.lax.scan(one_group, acc, jnp.arange(n_groups_local))
+        return jax.lax.psum(acc, axis_name)
+
+    sharded_blend = shard_map(
+        local_blend,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
+        out_specs=P(),
+    )
+
+    def step_fn(latents, t, cond):
+        acc = sharded_blend(latents, t, jnp.asarray(win_idx), jnp.asarray(win_w), cond)
+        return scheduler.step(acc, t, latents, num_inference_steps)
+
+    return step_fn

@@ -1,0 +1,101 @@
+"""Host-side media IO + device-side post-processing.
+
+save_video mirrors pipelines/utils.py:64-87 (3x3x3 median filter -> mp4 write
+-> audio mux) but the median filter runs on the TPU as a batched JAX op
+instead of a per-frame torch host loop, and the audio mux uses the native
+in-process remuxer instead of an ffmpeg subprocess.
+"""
+
+from __future__ import annotations
+
+import pathlib
+from typing import Optional
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.media_native import mux_audio_video, native_available
+
+
+def median_filter_3d(video: jax.Array, kernel_size: int = 3, frame_chunk: int = 8) -> jax.Array:
+    """3-D median filter over (F, H, W, C) in [0,1], reflect padding
+    (pipelines/utils.py:46-61). Runs fully on device."""
+    k = kernel_size
+    pad = k // 2
+    f, h, w, c = video.shape
+    v = jnp.pad(video, ((pad, pad), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+    def one_frame(i):
+        # (k, H+2p, W+2p, C) neighborhood of frame i
+        seg = jax.lax.dynamic_slice(v, (i, 0, 0, 0), (k, h + 2 * pad, w + 2 * pad, c))
+        patches = [
+            seg[:, dy : dy + h, dx : dx + w, :]
+            for dy in range(k)
+            for dx in range(k)
+        ]
+        stack = jnp.stack(patches, axis=0).reshape(k * k * k, h, w, c)
+        return jnp.median(stack, axis=0)
+
+    return jax.lax.map(one_frame, jnp.arange(f), batch_size=frame_chunk)
+
+
+def save_video(
+    video: np.ndarray,
+    audio_path: Optional[str],
+    output_path: str,
+    fps: float = 30.0,
+    apply_median_filter: bool = True,
+) -> None:
+    """video: (F, H, W, 3) float in [0, 1], RGB. Writes mp4 (+ audio mux)."""
+    out = pathlib.Path(output_path)
+    out.parent.mkdir(exist_ok=True, parents=True)
+
+    if apply_median_filter:
+        video = np.asarray(median_filter_3d(jnp.asarray(video)))
+
+    frames = (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+    f, h, w, _ = frames.shape
+
+    temp = str(out.with_name(out.stem + "-temp" + out.suffix))
+    writer = cv2.VideoWriter(temp, cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h))
+    if not writer.isOpened():
+        raise RuntimeError(f"cv2.VideoWriter failed to open {temp}")
+    for i in range(f):
+        writer.write(cv2.cvtColor(frames[i], cv2.COLOR_RGB2BGR))
+    writer.release()
+
+    if audio_path and native_available():
+        mux_audio_video(temp, audio_path, str(out))
+        pathlib.Path(temp).unlink()
+    else:
+        pathlib.Path(temp).rename(out)
+
+
+def load_image_rgb(path: str, height: int, width: int) -> np.ndarray:
+    """-> (H, W, 3) float32 RGB in [0, 1], resized (PIL-free, cv2 bilinear...
+    reference resizes with PIL (inference.py:235-236); cv2 INTER_LINEAR is the
+    equivalent default)."""
+    img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(f"cannot read image {path}")
+    img = cv2.resize(img, (width, height), interpolation=cv2.INTER_LINEAR)
+    return cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+
+
+def read_video_rgb(path: str, max_frames: Optional[int] = None) -> np.ndarray:
+    """-> (F, H, W, 3) uint8 RGB frames."""
+    cap = cv2.VideoCapture(str(path))
+    frames = []
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+        if max_frames is not None and len(frames) >= max_frames:
+            break
+    cap.release()
+    if not frames:
+        raise RuntimeError(f"no frames decoded from {path}")
+    return np.stack(frames)

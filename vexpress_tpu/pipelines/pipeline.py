@@ -1,0 +1,301 @@
+"""VExpressPipeline — TPU-native inference orchestration.
+
+Reference behavior: pipelines/v_express_pipeline.py:409-589 (`mean_overlap`).
+Key restructuring for TPU (same math, proven equivalent by the static window
+schedule):
+
+* The reference iterates context windows sequentially inside a python loop,
+  shuttling each window host<->device (latents live on CPU). Here the window
+  set is a static [N, 24] index array computed once (it uses step=0 for every
+  denoise step, v_express_pipeline.py:486-496), so one jitted `denoise_step`
+  gathers all windows, runs the UNet over a *batched* window axis (group size
+  G per UNet call via lax.map), scatter-adds the 1/count-weighted noise
+  predictions, and applies one DDIM step for all frames. Per-frame "step when
+  all covering windows are done" bookkeeping is equivalent because every
+  window reads pre-step latents and DDIM's update is elementwise per frame.
+
+* CFG batching: uncond/cond are concatenated on the leading axis (uncond
+  first, matching torch.cat([zeros, v]) in mutual_self_attention.py:359).
+  Unconditional kps/audio/reference inputs are all-zero tensors; they are
+  never materialized at video length — only per gathered window.
+
+* Conditioning precompute (reference latent, kps features, audio tokens,
+  reference-net bank features) happens once, on device, batched over frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..diffusion.ddim import DDIMScheduler
+from ..models.audio_projection import AudioProjection
+from ..models.unet_2d import ReferenceUNet2D
+from ..models.unet_3d import DenoisingUNet3D, UNetConfig
+from ..models.vae import AutoencoderKL, VAEConfig
+from ..models.vkps_guider import VKpsGuider
+from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
+from .audio import audio_frame_windows
+from .context import compute_context_windows
+from ..utils.runtime import phase
+
+LATENT_SCALE = 0.18215
+
+
+def build_blended_denoise_step(
+    predict_fn,
+    scheduler: DDIMScheduler,
+    windows: np.ndarray,
+    inv_counts: np.ndarray,
+    num_inference_steps: int,
+    window_group: int = 2,
+):
+    """Build one denoise step: gather windows -> predict in groups of
+    `window_group` -> scatter-add 1/count-weighted noise preds -> DDIM step.
+
+    `predict_fn(lat, t, w_idx, cond) -> pred` maps (g, win, ...) window latents
+    (plus conditioning pytree `cond`) to CFG-combined noise predictions.
+
+    Equivalent to the reference's sequential per-window loop with per-frame
+    "step when all covering windows done" bookkeeping
+    (v_express_pipeline.py:527-577): every window reads pre-step latents and
+    the DDIM update is elementwise, so accumulation order is irrelevant.
+    """
+    n_windows, win_size = windows.shape
+    g = min(window_group, n_windows)
+    n_groups = -(-n_windows // g)
+    pad = n_groups * g - n_windows
+
+    win_idx = np.concatenate([windows, np.zeros((pad, win_size), np.int32)]) if pad else windows
+    win_mask = np.concatenate([np.ones(n_windows, np.float32), np.zeros(pad, np.float32)])
+    win_idx = win_idx.reshape(n_groups, g, win_size).astype(np.int32)
+    win_mask = win_mask.reshape(n_groups, g)
+    # blending weight per (window, frame): inv_counts gathered, zero for pads
+    win_w = inv_counts[win_idx] * win_mask[..., None]  # (n_groups, g, win)
+
+    def step_fn(latents, t, cond):
+        idx = jnp.asarray(win_idx)
+        weights = jnp.asarray(win_w)
+
+        def one_group(acc, gi):
+            w_idx = idx[gi]  # (g, win)
+            lat = latents[w_idx]
+            pred = predict_fn(lat, t, w_idx, cond)
+            pred = pred.astype(jnp.float32) * weights[gi][..., None, None, None]
+            return acc.at[w_idx].add(pred), None
+
+        acc = jnp.zeros_like(latents, dtype=jnp.float32)
+        acc, _ = jax.lax.scan(one_group, acc, jnp.arange(n_groups))
+        return scheduler.step(acc, t, latents, num_inference_steps)
+
+    return step_fn
+
+
+@dataclasses.dataclass
+class PipelineModels:
+    unet_config: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    vae_config: VAEConfig = dataclasses.field(default_factory=VAEConfig)
+    wav2vec2_config: Wav2Vec2Config = dataclasses.field(default_factory=Wav2Vec2Config)
+    audio_projection_kwargs: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    guider_kwargs: Dict[str, Any] = dataclasses.field(
+        default_factory=lambda: dict(conditioning_embedding_channels=320, block_out_channels=(16, 32, 96, 256))
+    )
+    dtype: Any = jnp.float32
+
+
+class VExpressPipeline:
+    """Functional pipeline: host orchestration around jitted device programs."""
+
+    def __init__(
+        self,
+        models: PipelineModels,
+        params: Dict[str, Any],
+        scheduler: Optional[DDIMScheduler] = None,
+    ):
+        self.m = models
+        dt = models.dtype
+        self.vae = AutoencoderKL(models.vae_config, dtype=dt)
+        self.reference_net = ReferenceUNet2D(models.unet_config, dtype=dt)
+        self.denoising_unet = DenoisingUNet3D(models.unet_config, dtype=dt)
+        self.v_kps_guider = VKpsGuider(dtype=dt, **models.guider_kwargs)
+        self.audio_encoder = Wav2Vec2Model(models.wav2vec2_config, dtype=dt)
+        self.audio_projection = AudioProjection(dtype=dt, **models.audio_projection_kwargs)
+        self.scheduler = scheduler or DDIMScheduler()
+        self.params = params
+        self._step_cache: Dict[Any, Any] = {}
+
+    # ------------------------------------------------------------ precompute
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _encode_reference(self, image: jax.Array) -> jax.Array:
+        """(H, W, 3) in [0,1] -> scaled latent (1, h, w, 4)."""
+        x = image[None] * 2.0 - 1.0
+        return self.vae.apply(self.params["vae"], x, method=AutoencoderKL.encode) * LATENT_SCALE
+
+    @functools.partial(jax.jit, static_argnums=(0, 2))
+    def _reference_features(self, ref_latent: jax.Array, do_cfg: bool):
+        ctx = jnp.zeros((1, 1, self.m.unet_config.cross_attention_dim), self.m.dtype)
+        _, feats = self.reference_net.apply(
+            self.params["reference_net"], ref_latent, jnp.zeros((1,), jnp.int32), ctx
+        )
+        if do_cfg:
+            feats = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+        return feats
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _kps_features(self, kps_images: jax.Array) -> jax.Array:
+        """(L, H, W, 3) in [0,1] -> (L, h, w, 320)."""
+        feats = self.v_kps_guider.apply(self.params["v_kps_guider"], kps_images[None])
+        return feats[0]
+
+    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
+    def _audio_tokens(self, waveform: jax.Array, video_length: int, num_pad: int) -> jax.Array:
+        """(T,) -> (L, tokens, cross_dim)."""
+        emb = self.audio_encoder.apply(self.params["wav2vec2"], waveform[None])[0]
+        windows = audio_frame_windows(emb, video_length, num_pad)
+        return self.audio_projection.apply(self.params["audio_projection"], windows)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _decode_chunk(self, latents: jax.Array) -> jax.Array:
+        img = self.vae.apply(self.params["vae"], latents / LATENT_SCALE, method=AutoencoderKL.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    def decode_latents(self, latents: jax.Array, chunk: int = 16) -> np.ndarray:
+        """(L, h, w, 4) -> (L, H, W, 3) float32 in [0, 1], chunked over frames."""
+        outs = []
+        n = latents.shape[0]
+        for i in range(0, n, chunk):
+            sl = latents[i : i + chunk]
+            if sl.shape[0] < chunk:  # pad to keep one compiled shape
+                pad = chunk - sl.shape[0]
+                sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
+                outs.append(np.asarray(self._decode_chunk(sl), dtype=np.float32)[: chunk - pad])
+            else:
+                outs.append(np.asarray(self._decode_chunk(sl), dtype=np.float32))
+        return np.concatenate(outs, axis=0)
+
+    # ---------------------------------------------------------- denoise step
+
+    def _build_denoise_step(
+        self,
+        windows: np.ndarray,
+        inv_counts: np.ndarray,
+        num_inference_steps: int,
+        guidance_scale: float,
+        window_group: int,
+    ):
+        """One jitted denoise step over all context windows of the video."""
+        do_cfg = guidance_scale > 1.0
+        unet = self.denoising_unet
+        unet_params = self.params["denoising_unet"]
+        dt = self.m.dtype
+
+        def predict(lat, t, w_idx, cond):
+            """(g, win, h, w, 4) window latents -> CFG-combined noise preds."""
+            kps_feat, audio_tok, ref_feats, ref_scale, audio_scale = cond
+            lat = lat.astype(dt)
+            kps = kps_feat[w_idx].astype(dt)
+            aud = audio_tok[w_idx].astype(dt)
+            if do_cfg:
+                lat = jnp.concatenate([lat, lat], axis=0)
+                kps = jnp.concatenate([jnp.zeros_like(kps), kps], axis=0)
+                aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
+            pred = unet.apply(
+                unet_params, lat, jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats,
+                kps, ref_scale, audio_scale,
+            )
+            if do_cfg:
+                uncond, cond_p = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance_scale * (cond_p - uncond)
+            return pred
+
+        step_fn = build_blended_denoise_step(
+            predict, self.scheduler, windows, inv_counts, num_inference_steps, window_group
+        )
+
+        def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale):
+            return step_fn(latents, t, (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
+
+        return jax.jit(wrapped)
+
+    # ----------------------------------------------------------------- main
+
+    def __call__(
+        self,
+        reference_image: np.ndarray,  # (H, W, 3) float [0,1]
+        kps_images: np.ndarray,  # (L, H, W, 3) float [0,1] (or uint8)
+        audio_waveform: np.ndarray,  # (T,) float 16 kHz mono
+        width: int = 512,
+        height: int = 512,
+        video_length: Optional[int] = None,
+        num_inference_steps: int = 25,
+        guidance_scale: float = 3.5,
+        context_frames: int = 24,
+        context_overlap: int = 4,
+        reference_attention_weight: float = 0.95,
+        audio_attention_weight: float = 3.0,
+        num_pad_audio_frames: int = 2,
+        seed: int = 42,
+        window_group: int = 2,
+        return_latents: bool = False,
+        progress_callback=None,
+    ) -> np.ndarray:
+        """Generate a talking-head video. Returns (L, H, W, 3) float32 in [0,1]."""
+        if video_length is None:
+            video_length = len(kps_images)
+        assert len(kps_images) == video_length, (len(kps_images), video_length)
+        do_cfg = guidance_scale > 1.0
+        dt = self.m.dtype
+
+        kps_images = np.asarray(kps_images)
+        if kps_images.dtype == np.uint8:
+            kps_images = kps_images.astype(np.float32) / 255.0
+
+        # conditioning precompute (one device program each)
+        verbose = progress_callback is not None
+        with phase("encode reference latent", verbose):
+            ref_latent = self._encode_reference(jnp.asarray(reference_image, dt))
+            ref_latent.block_until_ready()
+        with phase("reference-net features", verbose):
+            ref_feats = self._reference_features(ref_latent, do_cfg)
+            ref_feats[0].block_until_ready()
+        with phase("kps features", verbose):
+            kps_feat = self._kps_features(jnp.asarray(kps_images, dt))
+            kps_feat.block_until_ready()
+        with phase("audio tokens", verbose):
+            audio_tok = self._audio_tokens(
+                jnp.asarray(audio_waveform, dt), video_length, num_pad_audio_frames
+            )
+            audio_tok.block_until_ready()
+
+        windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)
+
+        key = jax.random.PRNGKey(seed)
+        h, w = height // 8, width // 8
+        latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
+        latents = latents * self.scheduler.init_noise_sigma
+
+        cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
+                     float(guidance_scale), window_group)
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = self._build_denoise_step(
+                windows, inv_counts, num_inference_steps, guidance_scale, window_group
+            )
+        step = self._step_cache[cache_key]
+
+        ref_scale = jnp.asarray(reference_attention_weight, dt)
+        audio_scale = jnp.asarray(audio_attention_weight, dt)
+        for i, t in enumerate(self.scheduler.timesteps(num_inference_steps)):
+            latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
+                           ref_scale, audio_scale)
+            if progress_callback is not None:
+                progress_callback(i, int(t))
+
+        if return_latents:
+            return np.asarray(latents)
+        return self.decode_latents(latents)

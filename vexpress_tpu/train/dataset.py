@@ -1,0 +1,248 @@
+"""Talking-face video dataset (reference: datasets/talking_face_video.py).
+
+Produces numpy batches for the jitted train step:
+  reference_image (B,H,W,3) in [-1,1]     target_images (B,F,H,W,3) in [-1,1]
+  kps_images (B,F,H,W,3) in [0,1]          audio_frame_embeddings (B,F,10,768)
+  face_masks / lip_masks (B,F,h,w) at latent resolution
+
+Input metadata: JSON lists of {"video", "face_info", "audio_embeds"} entries
+(scripts/prepare_dataset/README.md): mp4 video, insightface face-info dump
+(per-frame kps/bbox/106 landmarks), wav2vec2 embedding dump
+({"global_embeds": [T,1,768]}).
+
+Host-side: cv2 video decode, numpy augmentation. Frame sampling, the
+reference-frame margin rule, audio windowing, flip with R<->G kps-color swap
+and shared random-resized-crop all follow the reference
+(talking_face_video.py:186-274).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import queue
+import random
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import cv2
+import numpy as np
+
+from ..pipelines.kps import draw_kps_image
+
+
+def _to_numpy(x):
+    if hasattr(x, "detach"):
+        return x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def load_face_info(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def load_audio_embeddings(path: str) -> np.ndarray:
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    return _to_numpy(obj["global_embeds"]).astype(np.float32)  # (T, 1, dim)
+
+
+def interpolate_rows(x: np.ndarray, out_len: int) -> np.ndarray:
+    """torch F.interpolate(mode='linear', align_corners=False) over axis 0."""
+    t_in = x.shape[0]
+    scale = t_in / out_len
+    pos = np.clip((np.arange(out_len) + 0.5) * scale - 0.5, 0, t_in - 1)
+    lo = np.floor(pos).astype(int)
+    hi = np.minimum(lo + 1, t_in - 1)
+    frac = (pos - lo).reshape(-1, *([1] * (x.ndim - 1)))
+    return (x[lo] * (1 - frac) + x[hi] * frac).astype(x.dtype)
+
+
+def audio_frame_embeddings_np(
+    audio_embeddings: np.ndarray,  # (T', dim)
+    frame_ids: Sequence[int],
+    video_len: int,
+    num_pad: int = 2,
+) -> np.ndarray:
+    """datasets/talking_face_video.py:70-95 in numpy."""
+    emb = interpolate_rows(audio_embeddings, 2 * video_len)
+    dim = emb.shape[-1]
+    pad = np.zeros((2 * num_pad, dim), emb.dtype)
+    emb = np.concatenate([pad, emb, pad], axis=0)
+    window = 2 * (2 * num_pad + 1)
+    out = np.stack([emb[2 * f : 2 * f + window] for f in frame_ids])
+    return out
+
+
+class TalkingFaceVideoDataset:
+    """Iterable dataset with a background prefetch thread pool."""
+
+    def __init__(
+        self,
+        meta_paths: Sequence[str],
+        image_size=(512, 512),
+        image_scale=(1.0, 1.0),
+        image_ratio=(0.9, 1.0),
+        flip_rate: float = 0.0,
+        sample_rate: int = 1,
+        num_frames: int = 10,
+        reference_margin: int = 30,
+        num_padding_audio_frames: int = 2,
+        vae_scale_rate: int = 8,
+        lip_mask_scale: float = 2.0,
+        seed: int = 0,
+    ):
+        self.videos_info: List[Dict] = []
+        for meta_path in meta_paths:
+            with open(meta_path) as f:
+                self.videos_info.extend(json.load(f))
+        self.image_size = tuple(image_size)
+        self.image_scale = image_scale
+        self.image_ratio = image_ratio
+        self.flip_rate = flip_rate
+        self.sample_rate = sample_rate
+        self.num_frames = num_frames
+        self.reference_margin = reference_margin
+        self.num_pad = num_padding_audio_frames
+        self.vae_scale_rate = vae_scale_rate
+        self.lip_mask_scale = lip_mask_scale
+        self.rng = random.Random(seed)
+
+    def __len__(self) -> int:
+        return len(self.videos_info)
+
+    # ------------------------------------------------------------ sample
+
+    def _crop_params(self, h: int, w: int):
+        """RandomResizedCrop(scale, ratio) parameter sampling (torchvision
+        semantics with scale=(1,1): area-preserving aspect jitter)."""
+        area = h * w
+        for _ in range(10):
+            target_area = area * self.rng.uniform(*self.image_scale)
+            log_ratio = (math.log(self.image_ratio[0]), math.log(self.image_ratio[1]))
+            aspect = math.exp(self.rng.uniform(*log_ratio))
+            cw = int(round(math.sqrt(target_area * aspect)))
+            ch = int(round(math.sqrt(target_area / aspect)))
+            if 0 < cw <= w and 0 < ch <= h:
+                top = self.rng.randint(0, h - ch)
+                left = self.rng.randint(0, w - cw)
+                return top, left, ch, cw
+        return 0, 0, h, w
+
+    def _apply_crop(self, img: np.ndarray, crop, out_size, do_flip: bool) -> np.ndarray:
+        top, left, ch, cw = crop
+        img = img[top : top + ch, left : left + cw]
+        img = cv2.resize(img, (out_size[1], out_size[0]), interpolation=cv2.INTER_LINEAR)
+        if do_flip:
+            img = img[:, ::-1]
+        return np.ascontiguousarray(img)
+
+    def _masks_from_face_info(self, shape, face_info) -> tuple:
+        h, w = shape
+        face = np.zeros((h, w), np.float32)
+        x1, y1, x2, y2 = [int(v) for v in face_info["bbox"][:4]]
+        face[max(y1, 0) : y2 + 1, max(x1, 0) : x2 + 1] = 1.0
+
+        lip = np.zeros((h, w), np.float32)
+        lm = _to_numpy(face_info["landmark_2d_106"])[52:72]
+        x1, x2 = lm[:, 0].min(), lm[:, 0].max()
+        y1, y2 = lm[:, 1].min(), lm[:, 1].max()
+        cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+        bw, bh = (x2 - x1) * self.lip_mask_scale, (y2 - y1) * self.lip_mask_scale
+        lip[max(int(cy - bh / 2), 0) : int(cy + bh / 2) + 1,
+            max(int(cx - bw / 2), 0) : int(cx + bw / 2) + 1] = 1.0
+        return face, lip
+
+    def get_sample(self, index: int) -> Optional[Dict[str, np.ndarray]]:
+        info = self.videos_info[index % len(self.videos_info)]
+        from ..pipelines.media import read_video_rgb
+
+        frames = read_video_rgb(info["video"])  # (T, H, W, 3) uint8
+        face_info = load_face_info(info["face_info"])
+        audio_embeds = load_audio_embeddings(info["audio_embeds"])[:, 0, :]  # (T', dim)
+
+        video_len = len(frames)
+        if video_len < self.num_frames:
+            return None
+
+        clip_len = min(video_len, (self.num_frames - 1) * self.sample_rate + 1)
+        start = self.rng.randint(0, video_len - clip_len)
+        batch_ids = np.linspace(start, start + clip_len - 1, self.num_frames).astype(int).tolist()
+
+        left_max = min(batch_ids) - self.reference_margin - 1
+        right_min = max(batch_ids) + self.reference_margin + 1
+        candidates = [i for i in range(video_len) if i <= left_max or i >= right_min]
+        if not candidates:
+            return None
+        ref_idx = self.rng.choice(candidates)
+
+        hh, ww = frames.shape[1:3]
+        crop = self._crop_params(hh, ww)
+        do_flip = self.rng.random() < self.flip_rate
+        out_size = self.image_size
+        latent = (out_size[0] // self.vae_scale_rate, out_size[1] // self.vae_scale_rate)
+
+        def norm(img):
+            return img.astype(np.float32) / 127.5 - 1.0
+
+        reference = norm(self._apply_crop(frames[ref_idx], crop, out_size, do_flip))
+
+        targets, kps_imgs, face_masks, lip_masks = [], [], [], []
+        for f in batch_ids:
+            fi = face_info[f][0]
+            targets.append(norm(self._apply_crop(frames[f], crop, out_size, do_flip)))
+
+            kps_img = draw_kps_image(hh, ww, _to_numpy(fi["kps"])[:3])
+            kps_img = self._apply_crop(kps_img, crop, out_size, do_flip)
+            if do_flip:
+                # flipped kps: swap R<->G channels (talking_face_video.py:154-156)
+                kps_img = kps_img[..., [1, 0, 2]]
+            kps_imgs.append(kps_img.astype(np.float32) / 255.0)
+
+            fm, lm = self._masks_from_face_info((hh, ww), fi)
+            fm = self._apply_crop(fm, crop, latent, do_flip)
+            lm = self._apply_crop(lm, crop, latent, do_flip)
+            face_masks.append(fm)
+            lip_masks.append(lm)
+
+        afe = audio_frame_embeddings_np(audio_embeds, batch_ids, video_len, self.num_pad)
+
+        return {
+            "reference_image": reference,
+            "target_images": np.stack(targets),
+            "kps_images": np.stack(kps_imgs),
+            "audio_frame_embeddings": afe,
+            "face_masks": np.stack(face_masks),
+            "lip_masks": np.stack(lip_masks),
+        }
+
+    # ------------------------------------------------------------ batching
+
+    def batches(self, batch_size: int, num_workers: int = 4, prefetch: int = 4) -> Iterator[Dict]:
+        """Infinite shuffled batch iterator with background workers."""
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch * batch_size)
+        stop = threading.Event()
+
+        def worker(wid: int):
+            rng = random.Random(hash((wid, id(self))) & 0xFFFFFFFF)
+            while not stop.is_set():
+                idx = rng.randrange(len(self.videos_info))
+                try:
+                    sample = self.get_sample(idx)
+                except Exception:
+                    continue
+                if sample is not None:
+                    q.put(sample)
+
+        threads = [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(num_workers)]
+        for t in threads:
+            t.start()
+        try:
+            while True:
+                samples = [q.get() for _ in range(batch_size)]
+                yield {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+        finally:
+            stop.set()

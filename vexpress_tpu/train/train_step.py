@@ -1,0 +1,271 @@
+"""Training: the three-stage progressive conditional-dropout recipe.
+
+Reference: train.py — Net.forward (:44-119), stage trainability wiring
+(:363-419), loss construction (:625-638: MSE x lip-mask weight x Min-SNR),
+conditional dropout (:622 uncond_ratio; kps_drop_rate :77-82;
+reference_drop_rate mutual_self_attention.py:210-213), noise offset (:580-584),
+v-prediction targets (:606-614).
+
+TPU mapping: one pure `train_step` jitted over a DP mesh — batch sharded on
+"dp", params replicated, optimizer state ZeRO-2-sharded
+(parallel.mesh.shard_opt_state_zero2). Gradient accumulation via
+optax.MultiSteps; gradient checkpointing via jax.checkpoint on the loss fn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..diffusion.ddim import DDIMScheduler
+from ..pipelines.pipeline import LATENT_SCALE
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Mirrors training_configs/stage_{1,2,3}.yaml solver/data sections."""
+
+    train_stage: str = "stage_1"
+    num_frames: int = 1
+    # module_training flags
+    train_denoising_unet: bool = True
+    train_reference_net: bool = True
+    train_v_kps_guider: bool = True
+    train_audio_projection: bool = False
+    train_motion_module: bool = False
+    # solver
+    learning_rate: float = 1e-6
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_weight_decay: float = 1e-2
+    adam_epsilon: float = 1e-8
+    max_grad_norm: float = 1.0
+    gradient_accumulation_steps: int = 1
+    # objective
+    prediction_type: str = "v_prediction"  # enable_zero_snr -> v_prediction
+    snr_gamma: float = 5.0
+    uncond_ratio: float = 0.1
+    noise_offset: float = 0.05
+    lip_loss_weight: float = 1.0
+    kps_drop_rate: float = 0.0
+    reference_drop_rate: float = 0.0
+
+    @staticmethod
+    def stage(name: str, **overrides) -> "TrainConfig":
+        presets = {
+            "stage_1": dict(train_stage="stage_1", num_frames=1,
+                            train_denoising_unet=True, train_reference_net=True,
+                            train_v_kps_guider=True, train_audio_projection=False,
+                            train_motion_module=False),
+            "stage_2": dict(train_stage="stage_2", num_frames=20,
+                            train_denoising_unet=False, train_reference_net=False,
+                            train_v_kps_guider=False, train_audio_projection=True,
+                            train_motion_module=True),
+            "stage_3": dict(train_stage="stage_3", num_frames=8,
+                            train_denoising_unet=True, train_reference_net=True,
+                            train_v_kps_guider=True, train_audio_projection=True,
+                            train_motion_module=True),
+        }
+        return TrainConfig(**{**presets[name], **overrides})
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def _path_str(path) -> str:
+    return "/".join(getattr(p, "key", str(p)) for p in path)
+
+
+def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
+    """True where a parameter trains in this stage (train.py:400-419):
+
+    * reference_net: cfg flag, but up_blocks_3 always frozen (:404-406)
+    * denoising_unet: cfg flag; motion_modules overridden by motion flag;
+      attn2/norm2 inside attentions overridden by audio_projection flag (:412-419)
+    * v_kps_guider / audio_projection: cfg flags; vae & wav2vec2 frozen (:401-402)
+    """
+
+    def decide(path_parts, module: str) -> bool:
+        p = "/".join(path_parts)
+        if module == "vae" or module == "wav2vec2":
+            return False
+        if module == "reference_net":
+            if "up_blocks_3" in path_parts:
+                return False
+            return cfg.train_reference_net
+        if module == "v_kps_guider":
+            return cfg.train_v_kps_guider
+        if module == "audio_projection":
+            return cfg.train_audio_projection
+        if module == "denoising_unet":
+            if "motion_modules" in p or any(x.startswith("motion_modules") for x in path_parts):
+                return cfg.train_motion_module
+            if ("attentions" in p) and any(x in ("attn2", "norm2") for x in path_parts):
+                return cfg.train_audio_projection
+            return cfg.train_denoising_unet
+        return False
+
+    masks = {}
+    for module, tree in params.items():
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        mask_flat = {}
+        for path, leaf in flat:
+            parts = tuple(getattr(p, "key", str(p)) for p in path)
+            mask_flat[path] = decide(parts, module)
+        masks[module] = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(tree), [mask_flat[p] for p, _ in flat]
+        )
+    return masks
+
+
+def make_optimizer(params, cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Any]:
+    """AdamW on trainable params only, global-norm clipping, optional
+    gradient accumulation (train.py:464-489 + accelerate grad-accum)."""
+    mask = trainable_mask(params, cfg)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.masked(
+            optax.adamw(
+                cfg.learning_rate,
+                b1=cfg.adam_beta1,
+                b2=cfg.adam_beta2,
+                eps=cfg.adam_epsilon,
+                weight_decay=cfg.adam_weight_decay,
+            ),
+            mask,
+        ),
+    )
+    if cfg.gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
+    return tx, mask
+
+
+def build_train_step(
+    pipeline,  # VExpressPipeline (models + apply fns)
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    scheduler: Optional[DDIMScheduler] = None,
+    mask: Optional[Dict[str, Any]] = None,
+):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    batch dict (from datasets.talking_face_video equivalents):
+      target_images: (B, F, H, W, 3) in [-1, 1]
+      reference_image: (B, H, W, 3) in [-1, 1]
+      kps_images: (B, F, H, W, 3) in [0, 1]
+      audio_frame_embeddings: (B, F, 10, 768) precomputed wav2vec2 windows
+      lip_masks: (B, F, h, w) in [0, 1] at latent resolution
+    """
+    sched = scheduler or DDIMScheduler(
+        prediction_type=cfg.prediction_type,
+        rescale_betas_zero_snr=cfg.prediction_type == "v_prediction",
+    )
+    m = pipeline
+    cross_dim = m.m.unet_config.cross_attention_dim
+
+    def loss_fn(params, batch, rng):
+        if mask is not None:
+            # frozen params contribute no gradients (saves the backward pass
+            # through them; equivalent to requires_grad_(False))
+            params = jax.tree_util.tree_map(
+                lambda p, m_: p if m_ else jax.lax.stop_gradient(p), params, mask
+            )
+        r_t, r_noise, r_uncond, r_kps, r_refdrop, r_vae1, r_vae2, r_off = jax.random.split(rng, 8)
+        target = batch["target_images"]
+        b, f = target.shape[0], target.shape[1]
+
+        # frozen VAE encodes (train.py:571-577, 595-598) — sampled posterior
+        flat = target.reshape((b * f,) + target.shape[2:])
+        latents = m.vae.apply(params["vae"], flat, r_vae1, method=type(m.vae).encode_sample)
+        latents = latents.reshape((b, f) + latents.shape[1:]) * LATENT_SCALE
+        latents = jax.lax.stop_gradient(latents)
+
+        ref_latents = m.vae.apply(
+            params["vae"], batch["reference_image"], r_vae2, method=type(m.vae).encode_sample
+        ) * LATENT_SCALE
+        ref_latents = jax.lax.stop_gradient(ref_latents)
+
+        # noise + offset (train.py:579-584)
+        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        if cfg.noise_offset > 0:
+            noise = noise + cfg.noise_offset * jax.random.normal(
+                r_off, (b, 1, 1, 1, latents.shape[-1]), jnp.float32
+            )
+        timesteps = jax.random.randint(r_t, (b,), 0, sched.config.num_train_timesteps)
+
+        noisy = sched.add_noise(latents, noise, timesteps[:, None])
+        if cfg.prediction_type == "epsilon":
+            target_pred = noise
+        else:
+            target_pred = sched.get_velocity(latents, noise, timesteps[:, None])
+
+        # conditional dropout: whole-batch unconditional forward (train.py:622)
+        do_uncond = jax.random.uniform(r_uncond, ()) < cfg.uncond_ratio
+        uncond = do_uncond.astype(jnp.float32)
+
+        # kps conditioning (+ per-sample dropout, train.py:77-82)
+        kps_feat = m.v_kps_guider.apply(params["v_kps_guider"], batch["kps_images"])
+        if cfg.kps_drop_rate > 0:
+            keep = (jax.random.uniform(r_kps, (b, 1, 1, 1, 1)) >= cfg.kps_drop_rate).astype(kps_feat.dtype)
+            kps_feat = kps_feat * keep
+        kps_feat = kps_feat * (1.0 - uncond)
+
+        # audio tokens (train.py:84-90)
+        afe = batch["audio_frame_embeddings"]
+        tok = m.audio_projection.apply(params["audio_projection"], afe.reshape((-1,) + afe.shape[2:]))
+        tok = tok.reshape((b, f) + tok.shape[1:]) * (1.0 - uncond)
+
+        # reference features at t=0 (train.py:92-110); uncond zeroes the banks
+        ctx0 = jnp.zeros((b, 1, cross_dim), latents.dtype)
+        _, ref_feats = m.reference_net.apply(
+            params["reference_net"], ref_latents, jnp.zeros((b,), jnp.int32), ctx0
+        )
+        ref_feats = tuple(r * (1.0 - uncond) for r in ref_feats)
+        if cfg.reference_drop_rate > 0:
+            keep = (jax.random.uniform(r_refdrop, (b, 1, 1)) >= cfg.reference_drop_rate).astype(
+                ref_feats[0].dtype
+            )
+            ref_feats = tuple(r * keep for r in ref_feats)
+
+        pred = m.denoising_unet.apply(
+            params["denoising_unet"], noisy, timesteps, tok, ref_feats, kps_feat, 1.0, 1.0
+        )
+
+        # loss (train.py:625-638)
+        loss = (pred.astype(jnp.float32) - target_pred.astype(jnp.float32)) ** 2
+        if cfg.lip_loss_weight != 1.0 and "lip_masks" in batch:
+            w = (cfg.lip_loss_weight - 1.0) * batch["lip_masks"][..., None] + 1.0
+            loss = loss * w
+        if cfg.snr_gamma != 0:
+            snr = sched.snr(timesteps)
+            if cfg.prediction_type == "v_prediction":
+                snr = snr + 1.0
+            weights = jnp.minimum(snr, cfg.snr_gamma) / snr
+            loss = loss.mean(axis=tuple(range(1, loss.ndim))) * weights
+        return loss.mean()
+
+    tx = optimizer
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), {"loss": loss}
+
+    return train_step, loss_fn
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
