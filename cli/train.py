@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""V-Express TPU training CLI: `python cli/train.py --config configs/stage_1.yaml`.
+
+Mirrors the reference driver (/root/reference/train.py:218-731) on a JAX DP
+mesh: batch sharded over "dp", params replicated, ZeRO-2-sharded optimizer
+state, orbax full-state checkpoints + per-module torch-compatible exports.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def load_yaml(path):
+    try:
+        import yaml
+
+        with open(path) as f:
+            return yaml.safe_load(f)
+    except ImportError:
+        raise SystemExit("pyyaml not available; provide a JSON config instead") from None
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--max_steps_override", type=int, default=0)
+    parser.add_argument("--dtype", type=str, default="fp32", help="compute dtype {fp32, bf16}")
+    args = parser.parse_args()
+
+    cfg = load_yaml(args.config)
+    data, solver, mt = cfg["data"], cfg["solver"], cfg["module_training"]
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from vexpress_tpu.utils.runtime import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from vexpress_tpu.diffusion.ddim import DDIMScheduler
+    from vexpress_tpu.io.checkpoints import (
+        export_modules,
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
+    from vexpress_tpu.io.loaders import default_pipeline_models, load_pipeline
+    from vexpress_tpu.parallel.mesh import create_mesh, shard_opt_state_zero2
+    from vexpress_tpu.train.dataset import TalkingFaceVideoDataset
+    from vexpress_tpu.train.train_step import (
+        TrainConfig,
+        TrainState,
+        build_train_step,
+        make_optimizer,
+    )
+
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    models = default_pipeline_models(dtype=dtype)
+    pipe = load_pipeline(
+        models=models,
+        vae_path=cfg.get("vae_model_path") or None,
+        audio_encoder_path=cfg.get("audio_encoder_path") or None,
+        reference_net_path=cfg.get("reference_net_path") or None,
+        denoising_unet_path=cfg.get("denoising_unet_path") or None,
+        motion_module_path=cfg.get("motion_module_path") or None,
+        v_kps_guider_path=cfg.get("v_kps_guider_path") or None,
+        audio_projection_path=cfg.get("audio_projection_path") or None,
+        denoising_unet_state_dict_type=cfg.get("denoising_unet_state_dict_type", "new_attn"),
+    )
+
+    tcfg = TrainConfig(
+        train_stage=cfg["train_stage"],
+        num_frames=data["num_frames"],
+        train_denoising_unet=mt["denoising_unet"],
+        train_reference_net=mt["reference_net"],
+        train_v_kps_guider=mt["v_kps_guider"],
+        train_audio_projection=mt["audio_projection"],
+        train_motion_module=mt["motion_module"],
+        learning_rate=float(solver["learning_rate"]),
+        adam_beta1=float(solver["adam_beta1"]),
+        adam_beta2=float(solver["adam_beta2"]),
+        adam_weight_decay=float(solver["adam_weight_decay"]),
+        adam_epsilon=float(solver["adam_epsilon"]),
+        max_grad_norm=float(solver["max_grad_norm"]),
+        gradient_accumulation_steps=int(solver.get("gradient_accumulation_steps", 1)),
+        prediction_type="v_prediction" if cfg.get("enable_zero_snr", True) else "epsilon",
+        snr_gamma=float(cfg.get("snr_gamma", 5.0)),
+        uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),
+        noise_offset=float(cfg.get("noise_offset", 0.05)),
+        lip_loss_weight=float(data.get("lip_loss_weight", 1.0)),
+        kps_drop_rate=float(data.get("kps_drop_rate", 0.0)),
+        reference_drop_rate=float(data.get("reference_drop_rate", 0.0)),
+    )
+
+    params = pipe.params
+    tx, mask = make_optimizer(params, tcfg)
+    step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
+
+    mesh = create_mesh()
+    n_dev = mesh.shape["dp"]
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("dp"))
+
+    params = jax.device_put(params, repl)
+    opt_state = jax.device_put(tx.init(params), shard_opt_state_zero2(tx.init(params), mesh))
+    state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+
+    out_dir = cfg.get("output_dir", "./exp_output")
+    os.makedirs(out_dir, exist_ok=True)
+    ckpt_dir = os.path.join(out_dir, "checkpoints")
+
+    resume = cfg.get("resume_from_checkpoint", "")
+    if resume == "latest":
+        resume = latest_checkpoint(ckpt_dir) or ""
+    if resume:
+        state = restore_train_state(resume, state)
+        print(f"[vexpress] resumed from {resume} at step {int(state.step)}")
+
+    dataset = TalkingFaceVideoDataset(
+        meta_paths=data["meta_paths"],
+        image_size=(data["train_height"], data["train_width"]),
+        flip_rate=data["flip_rate"],
+        sample_rate=data["sample_rate"],
+        num_frames=data["num_frames"],
+        reference_margin=data["reference_margin"],
+        num_padding_audio_frames=data["num_padding_audio_frames"],
+        seed=cfg.get("seed", 0),
+    )
+    batch_size = data["train_bs"]
+    if batch_size % n_dev != 0:
+        raise SystemExit(f"train_bs {batch_size} must be divisible by mesh size {n_dev}")
+    batches = dataset.batches(batch_size)
+
+    jit_step = jax.jit(step_fn, donate_argnums=0)
+    max_steps = args.max_steps_override or int(solver["max_train_steps"])
+    key = jax.random.PRNGKey(cfg.get("seed", 0))
+    ckpt_every = int(cfg.get("checkpointing_steps", 5000))
+    log_every = 10
+
+    print(f"[vexpress] training {cfg['train_stage']} on mesh {dict(mesh.shape)}: "
+          f"bs={batch_size}, frames={data['num_frames']}, max_steps={max_steps}")
+    t0 = time.time()
+    losses = []
+    for step_i in range(int(state.step), max_steps):
+        batch = next(batches)
+        batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+        key, sub = jax.random.split(key)
+        state, metrics = jit_step(state, batch, sub)
+        losses.append(float(metrics["loss"]))
+        if (step_i + 1) % log_every == 0:
+            dt_ = time.time() - t0
+            print(f"[vexpress] step {step_i + 1}/{max_steps} loss {np.mean(losses):.4f} "
+                  f"({log_every / dt_:.2f} it/s)", flush=True)
+            losses, t0 = [], time.time()
+        if (step_i + 1) % ckpt_every == 0 or step_i + 1 == max_steps:
+            path = save_train_state(ckpt_dir, step_i + 1, state)
+            export_modules(state.params, out_dir, step_i + 1)
+            print(f"[vexpress] checkpoint saved: {path}")
+
+
+if __name__ == "__main__":
+    main()

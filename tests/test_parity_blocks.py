@@ -131,3 +131,14 @@ def test_motion_module_zero_init_is_identity():
     params = m.init(jax.random.PRNGKey(0), x, 2)
     out = m.apply(params, x, 2)
     assert_close(out, x)
+
+
+def test_sdpa_chunked_matches_full():
+    from vexpress_tpu.ops.attention import sdpa
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(2, 100, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 37, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 37, 32)).astype(np.float32))
+    full = sdpa(q, k, v, heads=4, q_chunk=100)
+    chunked = sdpa(q, k, v, heads=4, q_chunk=16)  # pad path: 100 = 6*16 + 4
+    assert_close(chunked, full, atol=1e-6, rtol=1e-6)

@@ -98,3 +98,21 @@ def test_pipeline_no_cfg_path(tiny_pipeline):
     )
     assert video.shape == (L, H, W, 3)
     assert np.isfinite(video).all()
+
+
+def test_streamed_matches_fused(tiny_pipeline):
+    rng = np.random.default_rng(2)
+    H = W = 64
+    L = 12
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(6400,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, window_group=2,
+        return_latents=True,
+    )
+    lat_streamed = tiny_pipeline(mode="streamed", **kwargs)
+    lat_fused = tiny_pipeline(mode="fused", **kwargs)
+    np.testing.assert_allclose(lat_streamed, lat_fused, atol=1e-5, rtol=1e-5)

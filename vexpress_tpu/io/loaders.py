@@ -62,7 +62,9 @@ def _host_fill(tree_shapes, seed: int = 0) -> Dict[str, Any]:
             return np.zeros(shape, np.float32)
         if len(shape) == 1:  # biases / norm params
             return np.zeros(shape, np.float32)
-        return (rng.standard_normal(shape) * 0.02).astype(np.float32)
+        out = rng.standard_normal(shape, dtype=np.float32)
+        out *= 0.02
+        return out
 
     return jax.tree_util.tree_map(fill, tree_shapes)
 

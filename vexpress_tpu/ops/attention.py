@@ -22,18 +22,35 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+# chunk the query axis when the full logits tensor would exceed this many
+# elements per (batch*heads) — keeps peak attention memory bounded instead of
+# materializing (B, H, Lq, Lk) (XLA does not do flash attention on its own;
+# at 512x512 the spatial blocks would otherwise need ~13 GB of logits)
+_Q_CHUNK_LOGIT_BUDGET = 1 << 21
+
+
+def _attend(q, k, v, scale):
+    """(B, Lq, H, D) x (B, Lk, H, D) -> (B, Lq, H, D), fp32 softmax."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits.astype(jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     heads: int,
     scale: Optional[float] = None,
+    q_chunk: Optional[int] = None,
 ) -> jax.Array:
     """Scaled dot-product attention over (B, L, H*D) tensors.
 
     Softmax statistics are computed in float32; output is cast back to the
     input dtype. Equivalent to torch.nn.functional.scaled_dot_product_attention
-    on (B, H, L, D) with default scale.
+    on (B, H, L, D) with default scale. Long query sequences are processed in
+    chunks (exact — each chunk sees the full KV length) to bound memory.
     """
     b, lq, inner = q.shape
     lk = k.shape[1]
@@ -45,11 +62,24 @@ def sdpa(
     k = k.reshape(b, lk, heads, d)
     v = v.reshape(b, lk, heads, d)
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
-    logits = logits.astype(jnp.float32) * scale
-    weights = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
-    return out.reshape(b, lq, inner)
+    if q_chunk is None:
+        if lq * lk > _Q_CHUNK_LOGIT_BUDGET:
+            q_chunk = max(128, _Q_CHUNK_LOGIT_BUDGET // lk)
+        else:
+            q_chunk = lq
+
+    if q_chunk >= lq:
+        out = _attend(q, k, v, scale)
+        return out.reshape(b, lq, inner)
+
+    n_chunks = -(-lq // q_chunk)
+    pad = n_chunks * q_chunk - lq
+    if pad:
+        q = jnp.concatenate([q, jnp.zeros((b, pad, heads, d), q.dtype)], axis=1)
+    qc = q.reshape(b, n_chunks, q_chunk, heads, d).transpose(1, 0, 2, 3, 4)
+    out = jax.lax.map(lambda qi: _attend(qi, k, v, scale), qc)
+    out = out.transpose(1, 0, 2, 3, 4).reshape(b, n_chunks * q_chunk, inner)
+    return out[:, :lq]
 
 
 class Attention(nn.Module):

@@ -181,6 +181,83 @@ class VExpressPipeline:
 
     # ---------------------------------------------------------- denoise step
 
+    def _build_group_programs(self, num_inference_steps: int, guidance_scale: float,
+                              window_group: int, win_size: int):
+        """Streamed mode: two small reusable programs instead of one fused
+        per-video-length step.
+
+        `group_step(acc, latents, t, w_idx, w_weights, cond)` runs the UNet on
+        one window group and scatter-adds weighted predictions into `acc`;
+        `ddim(acc, t, latents)` applies the scheduler. The same compiled
+        programs serve every group, timestep and video length — essential
+        here because the axon remote-compile service handles only
+        moderately-sized programs (and first compiles are minutes-long).
+        """
+        do_cfg = guidance_scale > 1.0
+        unet = self.denoising_unet
+        unet_params = self.params["denoising_unet"]
+        dt = self.m.dtype
+
+        @jax.jit
+        def group_step(acc, latents, t, w_idx, w_weights, kps_feat, audio_tok, ref_feats,
+                       ref_scale, audio_scale):
+            lat = latents[w_idx].astype(dt)
+            kps = kps_feat[w_idx].astype(dt)
+            aud = audio_tok[w_idx].astype(dt)
+            if do_cfg:
+                lat = jnp.concatenate([lat, lat], axis=0)
+                kps = jnp.concatenate([jnp.zeros_like(kps), kps], axis=0)
+                aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
+            pred = unet.apply(
+                unet_params, lat, jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats,
+                kps, ref_scale, audio_scale,
+            )
+            if do_cfg:
+                uncond, cond_p = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance_scale * (cond_p - uncond)
+            pred = pred.astype(jnp.float32) * w_weights[..., None, None, None]
+            return acc.at[w_idx].add(pred)
+
+        @jax.jit
+        def ddim(acc, t, latents):
+            return self.scheduler.step(acc, t, latents, num_inference_steps)
+
+        return group_step, ddim
+
+    def _denoise_streamed(self, latents, timesteps, windows, inv_counts, kps_feat,
+                          audio_tok, ref_feats, ref_scale, audio_scale,
+                          num_inference_steps, guidance_scale, window_group,
+                          progress_callback=None):
+        n_windows, win_size = windows.shape
+        g = min(window_group, n_windows)
+        n_groups = -(-n_windows // g)
+        pad = n_groups * g - n_windows
+        win_idx = np.concatenate([windows, np.zeros((pad, win_size), np.int32)]) if pad else windows
+        win_mask = np.concatenate([np.ones(n_windows, np.float32), np.zeros(pad, np.float32)])
+        win_w = (inv_counts[win_idx] * win_mask[:, None]).reshape(n_groups, g, win_size)
+        win_idx = win_idx.reshape(n_groups, g, win_size).astype(np.int32)
+
+        cache_key = ("group", num_inference_steps, float(guidance_scale), g, win_size)
+        if cache_key not in self._step_cache:
+            self._step_cache[cache_key] = self._build_group_programs(
+                num_inference_steps, guidance_scale, g, win_size
+            )
+        group_step, ddim = self._step_cache[cache_key]
+
+        idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
+        w_dev = [jnp.asarray(win_w[i]) for i in range(n_groups)]
+        for i, t in enumerate(timesteps):
+            tt = jnp.asarray(int(t))
+            acc = jnp.zeros_like(latents, dtype=jnp.float32)
+            for gi in range(n_groups):
+                acc = group_step(acc, latents, tt, idx_dev[gi], w_dev[gi], kps_feat,
+                                 audio_tok, ref_feats, ref_scale, audio_scale)
+            latents = ddim(acc, tt, latents)
+            if progress_callback is not None:
+                latents.block_until_ready()
+                progress_callback(i, int(t))
+        return latents
+
     def _build_denoise_step(
         self,
         windows: np.ndarray,
@@ -242,6 +319,7 @@ class VExpressPipeline:
         num_pad_audio_frames: int = 2,
         seed: int = 42,
         window_group: int = 2,
+        mode: str = "streamed",
         return_latents: bool = False,
         progress_callback=None,
     ) -> np.ndarray:
@@ -280,21 +358,31 @@ class VExpressPipeline:
         latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
         latents = latents * self.scheduler.init_noise_sigma
 
-        cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
-                     float(guidance_scale), window_group)
-        if cache_key not in self._step_cache:
-            self._step_cache[cache_key] = self._build_denoise_step(
-                windows, inv_counts, num_inference_steps, guidance_scale, window_group
-            )
-        step = self._step_cache[cache_key]
-
         ref_scale = jnp.asarray(reference_attention_weight, dt)
         audio_scale = jnp.asarray(audio_attention_weight, dt)
-        for i, t in enumerate(self.scheduler.timesteps(num_inference_steps)):
-            latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
-                           ref_scale, audio_scale)
-            if progress_callback is not None:
-                progress_callback(i, int(t))
+        timesteps = self.scheduler.timesteps(num_inference_steps)
+
+        if mode == "streamed":
+            latents = self._denoise_streamed(
+                latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
+                ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
+                progress_callback,
+            )
+        elif mode == "fused":
+            cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
+                         float(guidance_scale), window_group)
+            if cache_key not in self._step_cache:
+                self._step_cache[cache_key] = self._build_denoise_step(
+                    windows, inv_counts, num_inference_steps, guidance_scale, window_group
+                )
+            step = self._step_cache[cache_key]
+            for i, t in enumerate(timesteps):
+                latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
+                               ref_scale, audio_scale)
+                if progress_callback is not None:
+                    progress_callback(i, int(t))
+        else:
+            raise ValueError(f"unknown mode {mode} (use 'streamed' or 'fused')")
 
         if return_latents:
             return np.asarray(latents)
