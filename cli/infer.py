@@ -122,6 +122,17 @@ def main():
         param_dtype=dtype,
     )
 
+    if args.test_stage == "stage_1":
+        # test a stage-1 checkpoint: silence audio cross-attn and motion
+        # modules (reference inference.py:203-214)
+        from vexpress_tpu.utils.misc import zero_params_matching
+
+        pipeline.params["denoising_unet"] = zero_params_matching(
+            pipeline.params["denoising_unet"],
+            "temporal_transformer/proj_out",
+            "attn2/to_out_0",
+        )
+
     H, W = args.image_height, args.image_width
     reference_image = load_image_rgb(args.reference_image_path, H, W)
 

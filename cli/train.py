@@ -63,6 +63,7 @@ def main():
         build_train_step,
         make_optimizer,
     )
+    from vexpress_tpu.utils.observability import MetricsLogger, StepTimer
 
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     models = default_pipeline_models(dtype=dtype)
@@ -149,16 +150,22 @@ def main():
 
     print(f"[vexpress] training {cfg['train_stage']} on mesh {dict(mesh.shape)}: "
           f"bs={batch_size}, frames={data['num_frames']}, max_steps={max_steps}")
+    mlog = MetricsLogger(out_dir)
+    timer = StepTimer()
     t0 = time.time()
     losses = []
     for step_i in range(int(state.step), max_steps):
         batch = next(batches)
         batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+        timer.data_done()
         key, sub = jax.random.split(key)
         state, metrics = jit_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
+        timer.step_done()
         if (step_i + 1) % log_every == 0:
             dt_ = time.time() - t0
+            mlog.log(step_i + 1, {"train_loss": float(np.mean(losses)),
+                                  "it_per_s": log_every / dt_, **timer.report()})
             print(f"[vexpress] step {step_i + 1}/{max_steps} loss {np.mean(losses):.4f} "
                   f"({log_every / dt_:.2f} it/s)", flush=True)
             losses, t0 = [], time.time()

@@ -42,7 +42,7 @@ from ..models.vkps_guider import VKpsGuider
 from ..models.wav2vec2 import Wav2Vec2Config, Wav2Vec2Model
 from .audio import audio_frame_windows
 from .context import compute_context_windows
-from ..utils.runtime import phase
+from ..utils.runtime import phase, with_compile_retries
 
 LATENT_SCALE = 0.18215
 
@@ -337,18 +337,21 @@ class VExpressPipeline:
         # conditioning precompute (one device program each)
         verbose = progress_callback is not None
         with phase("encode reference latent", verbose):
-            ref_latent = self._encode_reference(jnp.asarray(reference_image, dt))
+            ref_latent = with_compile_retries(
+                self._encode_reference, jnp.asarray(reference_image, dt), label="vae encode")
             ref_latent.block_until_ready()
         with phase("reference-net features", verbose):
-            ref_feats = self._reference_features(ref_latent, do_cfg)
+            ref_feats = with_compile_retries(
+                self._reference_features, ref_latent, do_cfg, label="reference net")
             ref_feats[0].block_until_ready()
         with phase("kps features", verbose):
-            kps_feat = self._kps_features(jnp.asarray(kps_images, dt))
+            kps_feat = with_compile_retries(
+                self._kps_features, jnp.asarray(kps_images, dt), label="kps guider")
             kps_feat.block_until_ready()
         with phase("audio tokens", verbose):
-            audio_tok = self._audio_tokens(
-                jnp.asarray(audio_waveform, dt), video_length, num_pad_audio_frames
-            )
+            audio_tok = with_compile_retries(
+                self._audio_tokens, jnp.asarray(audio_waveform, dt), video_length,
+                num_pad_audio_frames, label="audio encoder")
             audio_tok.block_until_ready()
 
         windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)

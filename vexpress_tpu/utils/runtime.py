@@ -33,3 +33,26 @@ def phase(name: str, verbose: bool = True):
     yield
     if verbose:
         print(f"[vexpress] {name} done in {time.time() - t0:.1f}s", flush=True)
+
+
+def with_compile_retries(fn, *args, retries: int = 3, wait_s: float = 15.0, label: str = ""):
+    """Run fn(*args), retrying on transient runtime errors.
+
+    The axon remote-compile service occasionally drops long-running compile
+    connections ("Broken pipe"); a retry re-submits the same HLO (and usually
+    hits partially cached state)."""
+    import jax
+
+    last = None
+    for attempt in range(retries):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:  # transport/compile-service errors
+            last = e
+            msg = str(e)
+            if "UNAVAILABLE" not in msg and "Broken pipe" not in msg and "transport" not in msg:
+                raise
+            print(f"[vexpress] transient compile failure{f' in {label}' if label else ''} "
+                  f"(attempt {attempt + 1}/{retries}): {msg[:120]}", flush=True)
+            time.sleep(wait_s)
+    raise last
