@@ -28,6 +28,27 @@ from flax import linen as nn
 # at 512x512 the spatial blocks would otherwise need ~13 GB of logits)
 _Q_CHUNK_LOGIT_BUDGET = 1 << 21
 
+# VEXPRESS_FLASH=1 routes large spatial attention through the Pallas TPU
+# flash-attention kernel (ops.flash); default off until benchmarked per-shape.
+import os as _os
+
+_USE_FLASH = _os.environ.get("VEXPRESS_FLASH", "0") == "1"
+
+
+def _flash_eligible(lq: int, lk: int) -> bool:
+    if not _USE_FLASH:
+        return False
+    try:
+        import jax.extend.backend as _jeb
+
+        if _jeb.get_backend().platform != "tpu":
+            return False
+    except Exception:
+        return False
+    from .flash import flash_supported
+
+    return flash_supported(lq, lk) and lq * lk > _Q_CHUNK_LOGIT_BUDGET
+
 
 def _attend(q, k, v, scale):
     """(B, Lq, H, D) x (B, Lk, H, D) -> (B, Lq, H, D), fp32 softmax."""
@@ -57,6 +78,11 @@ def sdpa(
     d = inner // heads
     if scale is None:
         scale = d**-0.5
+
+    if q_chunk is None and _flash_eligible(lq, lk):
+        from .flash import flash_sdpa
+
+        return flash_sdpa(q, k, v, heads, scale)
 
     q = q.reshape(b, lq, heads, d)
     k = k.reshape(b, lk, heads, d)

@@ -1,0 +1,69 @@
+"""Pallas TPU flash attention wrapper for the spatial attention flavors.
+
+Wraps jax's fused TPU flash-attention kernel (online softmax in VMEM — no
+(Lq, Lk) logits in HBM) for the shapes V-Express produces:
+
+  spatial self-attn:   Lq = Lk = (latent h*w), head dims 40/80/160
+  reference attn1_5:   Lq = frames * h*w (grouped queries), Lk = h*w
+
+Head dims are zero-padded to the 128-lane boundary (exact: zero Q/K columns
+do not change logits; zero V columns produce zero output columns which are
+sliced off). Sequence lengths must be multiples of the 128 block size; the
+caller falls back to chunked XLA attention otherwise (ops.attention.sdpa).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def flash_supported(lq: int, lk: int) -> bool:
+    return lq % 128 == 0 and lk % 128 == 0 and lq >= 128 and lk >= 128
+
+
+@functools.partial(jax.jit, static_argnames=("heads", "scale"))
+def flash_sdpa(
+    q: jax.Array,  # (B, Lq, H*D)
+    k: jax.Array,  # (B, Lk, H*D)
+    v: jax.Array,
+    heads: int,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes, flash_attention
+
+    b, lq, inner = q.shape
+    lk = k.shape[1]
+    d = inner // heads
+    if scale is None:
+        scale = d**-0.5
+
+    def split(t, l):
+        return t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)  # (B, H, L, D)
+
+    qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
+
+    d_pad = -d % 128
+    if d_pad:
+        pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
+        qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
+
+    block = BlockSizes(
+        block_q=min(512, lq),
+        block_k_major=min(512, lk),
+        block_k=min(512, lk),
+        block_b=1,
+        block_q_major_dkv=min(512, lq),
+        block_k_major_dkv=min(512, lk),
+        block_k_dkv=min(512, lk),
+        block_q_dkv=min(512, lq),
+        block_k_major_dq=min(512, lk),
+        block_k_dq=min(512, lk),
+        block_q_dq=min(512, lq),
+    )
+    out = flash_attention(qh, kh, vh, causal=False, sm_scale=float(scale), block_sizes=block)
+    out = out[..., :d]  # drop padded head-dim columns
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
