@@ -116,3 +116,53 @@ def test_streamed_matches_fused(tiny_pipeline):
     lat_streamed = tiny_pipeline(mode="streamed", **kwargs)
     lat_fused = tiny_pipeline(mode="fused", **kwargs)
     np.testing.assert_allclose(lat_streamed, lat_fused, atol=1e-5, rtol=1e-5)
+
+
+def test_piecewise_matches_monolithic(tiny_pipeline):
+    """Per-block UNet execution must equal the monolithic apply exactly."""
+    import jax
+    from vexpress_tpu.models.piecewise import PiecewiseUNetRunner
+
+    cfg = tiny_pipeline.m.unet_config
+    rng = np.random.default_rng(3)
+    B, F, h, w = 2, 3, 8, 8
+    shapes = cfg.ref_feature_shapes(h, w)
+    ref_feats = tuple(jnp.asarray(rng.normal(size=(B, l, c)).astype(np.float32)) for l, c in shapes)
+    sample = jnp.asarray(rng.normal(size=(B, F, h, w, 4)).astype(np.float32))
+    t = jnp.asarray([10, 500])
+    audio = jnp.asarray(rng.normal(size=(B, F, 5, 12)).astype(np.float32))
+    kps = jnp.asarray(rng.normal(size=(B, F, h, w, 8)).astype(np.float32))
+    params = tiny_pipeline.params["denoising_unet"]
+
+    mono = tiny_pipeline.denoising_unet.apply(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    runner = PiecewiseUNetRunner(cfg)
+    piece = runner.unet3d(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    np.testing.assert_allclose(np.asarray(piece), np.asarray(mono), atol=2e-5, rtol=2e-5)
+
+    # reference net too
+    rparams = tiny_pipeline.params["reference_net"]
+    lat = jnp.asarray(rng.normal(size=(1, h, w, 4)).astype(np.float32))
+    ctx = jnp.zeros((1, 1, 12))
+    out_m, banks_m = tiny_pipeline.reference_net.apply(rparams, lat, jnp.zeros((1,), jnp.int32), ctx)
+    out_p, banks_p = runner.reference_net(rparams, lat, jnp.zeros((1,), jnp.int32), ctx)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_m), atol=2e-5, rtol=2e-5)
+    assert len(banks_p) == len(banks_m)
+    for bp, bm in zip(banks_p, banks_m):
+        np.testing.assert_allclose(np.asarray(bp), np.asarray(bm), atol=2e-5, rtol=2e-5)
+
+
+def test_pipeline_piecewise_e2e(tiny_pipeline):
+    rng = np.random.default_rng(4)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4000,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, return_latents=True,
+    )
+    lat_piece = tiny_pipeline(piecewise=True, **kwargs)
+    lat_mono = tiny_pipeline(piecewise=False, **kwargs)
+    np.testing.assert_allclose(lat_piece, lat_mono, atol=1e-5, rtol=1e-5)

@@ -1,0 +1,273 @@
+"""Piecewise UNet execution: one compiled program per UNet block.
+
+The axon remote-compile service drops connections on monolithic SD-scale
+programs (~30 min compiles, then "Broken pipe"). Because every linen block is
+addressable by its param subtree, the UNets can run as a sequence of
+per-block programs — identical math (verified by test), each program VAE-sized
+or smaller, compiling in minutes and cached persistently. Dispatch overhead is
+~10 host calls per UNet forward, microseconds next to seconds of compute.
+
+Used by the pipeline on real TPU; the monolithic path remains the default
+under tests/CPU and for multi-chip shard_map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.layers import get_timestep_embedding
+from .blocks import conv, group_norm
+from .unet_blocks import DownBlock, MidBlock, RefFeatures, UpBlock
+from .unet_3d import UNetConfig
+
+from flax import linen as nn
+
+
+class _ConvIn(nn.Module):
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return conv(self.features, 3, "conv_in", dtype=self.dtype)(x)
+
+
+class _ConvOut(nn.Module):
+    features: int
+    groups: int
+    eps: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = group_norm(self.groups, self.eps, "conv_norm_out", self.dtype)(x)
+        x = jax.nn.silu(x)
+        return conv(self.features, 3, "conv_out", dtype=self.dtype)(x)
+
+
+class _TimeEmbed(nn.Module):
+    ch0: int
+    flip: bool
+    shift: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, timesteps, batch):
+        from ..ops.layers import TimestepEmbedding
+
+        t_emb = get_timestep_embedding(
+            jnp.broadcast_to(jnp.asarray(timesteps), (batch,)), self.ch0, self.flip, self.shift
+        ).astype(self.dtype)
+        return TimestepEmbedding(self.ch0 * 4, dtype=self.dtype, name="time_embedding")(t_emb)
+
+
+def _sub(params: Dict, *names) -> Dict:
+    node = params["params"]
+    for n in names[:-1]:
+        node = node[n]
+    return {"params": node[names[-1]]} if names else {"params": node}
+
+
+def _top(params: Dict, keys) -> Dict:
+    """Select top-level param children into a fresh {"params": ...} tree."""
+    p = params["params"]
+    return {"params": {k: p[k] for k in keys if k in p}}
+
+
+class PiecewiseUNetRunner:
+    """Per-block jitted execution of ReferenceUNet2D / DenoisingUNet3D params."""
+
+    def __init__(self, config: UNetConfig, dtype=jnp.float32):
+        self.cfg = config
+        self.dtype = dtype
+        self._jits: Dict[Any, Any] = {}
+
+    # -- jit helpers --------------------------------------------------------
+
+    def _jit(self, key, fn):
+        if key not in self._jits:
+            self._jits[key] = jax.jit(fn)
+        return self._jits[key]
+
+    # -- shared stage builders ---------------------------------------------
+
+    def _block_args(self, temporal: bool):
+        cfg = self.cfg
+        mkw = dict(
+            use_motion=cfg.use_motion_module if temporal else False,
+            motion_heads=cfg.motion_num_attention_heads,
+            motion_blocks=cfg.motion_num_transformer_block,
+            motion_max_len=cfg.motion_max_len,
+        )
+        common = dict(
+            temporal=temporal,
+            eps=cfg.norm_eps,
+            groups=cfg.norm_num_groups,
+            dtype=self.dtype,
+            heads=cfg.attention_head_dim,
+            num_layers=cfg.layers_per_block,
+        )
+        return common, mkw
+
+    def _ref_slices(self):
+        """Number of ref features consumed per stage, in order."""
+        lp = self.cfg.layers_per_block
+        return {
+            "down_0": lp, "down_1": lp, "down_2": lp, "down_3": 0,
+            "mid": 1,
+            "up_0": 0, "up_1": lp + 1, "up_2": lp + 1, "up_3": lp + 1,
+        }
+
+    # -- full forwards -------------------------------------------------------
+
+    def unet3d(self, params, sample, timesteps, audio_tokens, ref_features,
+               kps_features, ref_scale, audio_scale):
+        """Piecewise equivalent of DenoisingUNet3D.__call__ (same params)."""
+        cfg = self.cfg
+        dt = self.dtype
+        b, f, h, w, _ = sample.shape
+        ch = cfg.block_out_channels
+        common, mkw = self._block_args(temporal=True)
+        scales = (jnp.asarray(ref_scale, dt), jnp.asarray(audio_scale, dt))
+        nrefs = self._ref_slices()
+
+        temb_fn = self._jit(("temb", b, f), lambda p, t: jnp.repeat(
+            _TimeEmbed(ch[0], cfg.flip_sin_to_cos, cfg.freq_shift, dt).apply(p, t, b), f, axis=0))
+        temb = temb_fn(_top(params, ["time_embedding"]), timesteps)
+
+        x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(dt)
+        ctx = audio_tokens.reshape(b * f, audio_tokens.shape[2], audio_tokens.shape[3]).astype(dt)
+        refs = [r.astype(dt) for r in ref_features]
+
+        conv_in_fn = self._jit(("conv_in3d", x.shape), lambda p, x_, k_: (
+            _ConvIn(ch[0], dt).apply(p, x_) + (0 if k_ is None else k_)))
+        kps = None if kps_features is None else kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
+        x = conv_in_fn(_top(params, ["conv_in"]), x, kps)
+
+        skips = [x]
+        cursor = 0
+        for i in range(4):
+            is_final = i == 3
+            n_in = nrefs[f"down_{i}"]
+            block = DownBlock(ch[i], has_attention=not is_final, add_downsample=not is_final,
+                              **{**common, **mkw})
+            block_refs = tuple(refs[cursor : cursor + n_in])
+            cursor += n_in
+
+            def down_fn(p, x_, temb_, ctx_, refs_, scales_, block=block):
+                return block.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+
+            fn = self._jit(("down3d", i, b, f, x.shape), down_fn)
+            x, states = fn(_sub(params, f"down_blocks_{i}"), x, temb, ctx, block_refs, scales)
+            skips.extend(states)
+
+        mid = MidBlock(ch[-1], num_layers=1, heads=cfg.attention_head_dim, temporal=True,
+                       use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
+                       motion_heads=cfg.motion_num_attention_heads,
+                       motion_blocks=cfg.motion_num_transformer_block,
+                       motion_max_len=cfg.motion_max_len,
+                       eps=cfg.norm_eps, groups=cfg.norm_num_groups, dtype=dt)
+        mid_refs = tuple(refs[cursor : cursor + 1])
+        cursor += 1
+
+        def mid_fn(p, x_, temb_, ctx_, refs_, scales_):
+            return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+
+        x = self._jit(("mid3d", b, f, x.shape), mid_fn)(
+            _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
+
+        rev = list(reversed(ch))
+        up_common = dict(common, num_layers=cfg.layers_per_block + 1)
+        for i in range(4):
+            is_final = i == 3
+            n_in = nrefs[f"up_{i}"]
+            block = UpBlock(rev[i], has_attention=i != 0, add_upsample=not is_final,
+                            **{**up_common, **mkw})
+            n_skips = cfg.layers_per_block + 1
+            block_skips = tuple(skips[-n_skips:])
+            del skips[-n_skips:]
+            block_refs = tuple(refs[cursor : cursor + n_in])
+            cursor += n_in
+
+            def up_fn(p, x_, skips_, temb_, ctx_, refs_, scales_, block=block):
+                return block.apply(p, x_, list(skips_), temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+
+            fn = self._jit(("up3d", i, b, f, x.shape), up_fn)
+            x = fn(_sub(params, f"up_blocks_{i}"), x, block_skips, temb, ctx, block_refs, scales)
+
+        out_fn = self._jit(("conv_out3d", x.shape), lambda p, x_: _ConvOut(
+            cfg.out_channels, cfg.norm_num_groups, cfg.norm_eps, dt).apply(p, x_))
+        x = out_fn(_top(params, ["conv_norm_out", "conv_out"]), x)
+        return x.reshape(b, f, h, w, cfg.out_channels)
+
+    def reference_net(self, params, sample, timesteps, encoder_hidden_states):
+        """Piecewise equivalent of ReferenceUNet2D.__call__; returns banks."""
+        cfg = self.cfg
+        dt = self.dtype
+        b, h, w, _ = sample.shape
+        ch = cfg.block_out_channels
+        common, _ = self._block_args(temporal=False)
+        nrefs = self._ref_slices()
+
+        temb_fn = self._jit(("temb2d", b), lambda p, t: _TimeEmbed(
+            ch[0], cfg.flip_sin_to_cos, cfg.freq_shift, dt).apply(p, t, b))
+        temb = temb_fn(_top(params, ["time_embedding"]), timesteps)
+
+        x = sample.astype(dt)
+        ctx = encoder_hidden_states.astype(dt)
+        conv_in_fn = self._jit(("conv_in2d", x.shape), lambda p, x_: _ConvIn(ch[0], dt).apply(p, x_))
+        x = conv_in_fn(_top(params, ["conv_in"]), x)
+
+        banks = []
+        skips = [x]
+        for i in range(4):
+            is_final = i == 3
+            block = DownBlock(ch[i], has_attention=not is_final, add_downsample=not is_final, **common)
+
+            def down_fn(p, x_, temb_, ctx_, block=block):
+                refs = RefFeatures()
+                out, states = block.apply(p, x_, temb_, ctx_, refs, None, 1)
+                return out, states, tuple(refs.feats)
+
+            fn = self._jit(("down2d", i, x.shape), down_fn)
+            x, states, new_banks = fn(_sub(params, f"down_blocks_{i}"), x, temb, ctx)
+            skips.extend(states)
+            banks.extend(new_banks)
+
+        mid = MidBlock(ch[-1], num_layers=1, heads=cfg.attention_head_dim, temporal=False,
+                       eps=cfg.norm_eps, groups=cfg.norm_num_groups, dtype=dt)
+
+        def mid_fn(p, x_, temb_, ctx_):
+            refs = RefFeatures()
+            out = mid.apply(p, x_, temb_, ctx_, refs, None, 1)
+            return out, tuple(refs.feats)
+
+        x, new_banks = self._jit(("mid2d", x.shape), mid_fn)(_sub(params, "mid_block"), x, temb, ctx)
+        banks.extend(new_banks)
+
+        rev = list(reversed(ch))
+        up_common = dict(common, num_layers=cfg.layers_per_block + 1)
+        for i in range(4):
+            is_final = i == 3
+            block = UpBlock(rev[i], has_attention=i != 0, add_upsample=not is_final, **up_common)
+            n_skips = cfg.layers_per_block + 1
+            block_skips = tuple(skips[-n_skips:])
+            del skips[-n_skips:]
+
+            def up_fn(p, x_, skips_, temb_, ctx_, block=block):
+                refs = RefFeatures()
+                out = block.apply(p, x_, list(skips_), temb_, ctx_, refs, None, 1)
+                return out, tuple(refs.feats)
+
+            fn = self._jit(("up2d", i, x.shape), up_fn)
+            x, new_banks = fn(_sub(params, f"up_blocks_{i}"), x, block_skips, temb, ctx)
+            banks.extend(new_banks)
+
+        out_fn = self._jit(("conv_out2d", x.shape), lambda p, x_: _ConvOut(
+            cfg.out_channels, cfg.norm_num_groups, cfg.norm_eps, dt).apply(p, x_))
+        x = out_fn(_top(params, ["conv_norm_out", "conv_out"]), x)
+        return x, tuple(banks)

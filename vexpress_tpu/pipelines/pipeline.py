@@ -147,6 +147,23 @@ class VExpressPipeline:
             feats = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
         return feats
 
+    @property
+    def piecewise_runner(self):
+        if not hasattr(self, "_piecewise_runner"):
+            from ..models.piecewise import PiecewiseUNetRunner
+
+            self._piecewise_runner = PiecewiseUNetRunner(self.m.unet_config, dtype=self.m.dtype)
+        return self._piecewise_runner
+
+    def _reference_features_piecewise(self, ref_latent: jax.Array, do_cfg: bool):
+        ctx = jnp.zeros((1, 1, self.m.unet_config.cross_attention_dim), self.m.dtype)
+        _, feats = self.piecewise_runner.reference_net(
+            self.params["reference_net"], ref_latent, jnp.zeros((1,), jnp.int32), ctx
+        )
+        if do_cfg:
+            feats = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
+        return feats
+
     @functools.partial(jax.jit, static_argnums=0)
     def _kps_features(self, kps_images: jax.Array) -> jax.Array:
         """(L, H, W, 3) in [0,1] -> (L, h, w, 320)."""
@@ -224,10 +241,55 @@ class VExpressPipeline:
 
         return group_step, ddim
 
+    def _build_piecewise_programs(self, num_inference_steps: int, guidance_scale: float):
+        """Piecewise-streamed mode: gather/CFG and scatter/DDIM are tiny jits;
+        the UNet itself runs per-block via PiecewiseUNetRunner (the axon
+        remote-compile service cannot build monolithic SD-scale programs)."""
+        from ..models.piecewise import PiecewiseUNetRunner
+
+        do_cfg = guidance_scale > 1.0
+        dt = self.m.dtype
+        runner = PiecewiseUNetRunner(self.m.unet_config, dtype=dt)
+
+        @jax.jit
+        def gather(latents, w_idx, kps_feat, audio_tok):
+            lat = latents[w_idx].astype(dt)
+            kps = kps_feat[w_idx].astype(dt)
+            aud = audio_tok[w_idx].astype(dt)
+            if do_cfg:
+                lat = jnp.concatenate([lat, lat], axis=0)
+                kps = jnp.concatenate([jnp.zeros_like(kps), kps], axis=0)
+                aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
+            return lat, kps, aud
+
+        @jax.jit
+        def combine_scatter(acc, pred, w_idx, w_weights):
+            if do_cfg:
+                uncond, cond_p = jnp.split(pred, 2, axis=0)
+                pred = uncond + guidance_scale * (cond_p - uncond)
+            pred = pred.astype(jnp.float32) * w_weights[..., None, None, None]
+            return acc.at[w_idx].add(pred)
+
+        @jax.jit
+        def ddim(acc, t, latents):
+            return self.scheduler.step(acc, t, latents, num_inference_steps)
+
+        def group_step(acc, latents, t, w_idx, w_weights, kps_feat, audio_tok, ref_feats,
+                       ref_scale, audio_scale):
+            lat, kps, aud = gather(latents, w_idx, kps_feat, audio_tok)
+            pred = runner.unet3d(
+                self.params["denoising_unet"], lat,
+                jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats, kps,
+                ref_scale, audio_scale,
+            )
+            return combine_scatter(acc, pred, w_idx, w_weights)
+
+        return group_step, ddim
+
     def _denoise_streamed(self, latents, timesteps, windows, inv_counts, kps_feat,
                           audio_tok, ref_feats, ref_scale, audio_scale,
                           num_inference_steps, guidance_scale, window_group,
-                          progress_callback=None):
+                          progress_callback=None, piecewise=False):
         n_windows, win_size = windows.shape
         g = min(window_group, n_windows)
         n_groups = -(-n_windows // g)
@@ -237,11 +299,17 @@ class VExpressPipeline:
         win_w = (inv_counts[win_idx] * win_mask[:, None]).reshape(n_groups, g, win_size)
         win_idx = win_idx.reshape(n_groups, g, win_size).astype(np.int32)
 
-        cache_key = ("group", num_inference_steps, float(guidance_scale), g, win_size)
+        cache_key = ("piecewise" if piecewise else "group",
+                     num_inference_steps, float(guidance_scale), g, win_size)
         if cache_key not in self._step_cache:
-            self._step_cache[cache_key] = self._build_group_programs(
-                num_inference_steps, guidance_scale, g, win_size
-            )
+            if piecewise:
+                self._step_cache[cache_key] = self._build_piecewise_programs(
+                    num_inference_steps, guidance_scale
+                )
+            else:
+                self._step_cache[cache_key] = self._build_group_programs(
+                    num_inference_steps, guidance_scale, g, win_size
+                )
         group_step, ddim = self._step_cache[cache_key]
 
         idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
@@ -320,6 +388,7 @@ class VExpressPipeline:
         seed: int = 42,
         window_group: int = 2,
         mode: str = "streamed",
+        piecewise: Optional[bool] = None,
         return_latents: bool = False,
         progress_callback=None,
     ) -> np.ndarray:
@@ -340,9 +409,11 @@ class VExpressPipeline:
             ref_latent = with_compile_retries(
                 self._encode_reference, jnp.asarray(reference_image, dt), label="vae encode")
             ref_latent.block_until_ready()
+        if piecewise is None:
+            piecewise = jax.default_backend() == "tpu"
         with phase("reference-net features", verbose):
-            ref_feats = with_compile_retries(
-                self._reference_features, ref_latent, do_cfg, label="reference net")
+            ref_fn = self._reference_features_piecewise if piecewise else self._reference_features
+            ref_feats = with_compile_retries(ref_fn, ref_latent, do_cfg, label="reference net")
             ref_feats[0].block_until_ready()
         with phase("kps features", verbose):
             kps_feat = with_compile_retries(
@@ -369,7 +440,7 @@ class VExpressPipeline:
             latents = self._denoise_streamed(
                 latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
                 ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
-                progress_callback,
+                progress_callback, piecewise=piecewise,
             )
         elif mode == "fused":
             cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
