@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Benchmark: generated frames/sec at 512x512, 25-step denoise (V-Express
 headline workload; BASELINE.md: reference achieves ~0.36 frames/s on V100 for
-this configuration).
+this configuration — 930 frames in 2617 s, README.md:116).
 
-Measures the steady-state denoise throughput of the jitted blended-window step
-on the real chip (one full 24-frame context window per UNet call, CFG batch 2)
-plus the batched VAE decode, and derives end-to-end generated frames per
-second:  total_time = num_steps * num_windows * t_window + L * t_decode.
+Measures the steady-state denoise throughput of the production (piecewise)
+window-group step on the real chip — one full 24-frame context window per
+UNet pass, CFG batch 2 — plus batched VAE decode, and derives end-to-end
+generated frames/sec:
+  total = num_steps * num_windows * t_window + L * t_decode  ->  fps = L / total
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_512x512_25step", "value": N, "unit": "frames/s",
@@ -14,12 +15,11 @@ Prints ONE JSON line:
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
-BASELINE_FPS = 0.36  # reference V100 (README.md:116: 930 frames in 2617 s)
+BASELINE_FPS = 0.36
 
 
 def main():
@@ -27,9 +27,11 @@ def main():
     import jax.numpy as jnp
 
     from vexpress_tpu.utils.runtime import enable_compilation_cache
+
     enable_compilation_cache()
 
     from vexpress_tpu.io.loaders import default_pipeline_models, load_pipeline
+    from vexpress_tpu.pipelines.context import compute_context_windows
 
     # workload geometry (reference defaults, inference.py:61-70)
     height = width = 512
@@ -37,12 +39,9 @@ def main():
     context_frames, context_overlap = 24, 4
     guidance_scale = 3.5
     video_length = 124  # AOC-sized clip: 6 windows
-    window_group = 1
 
     models = default_pipeline_models(dtype=jnp.bfloat16)
     pipe = load_pipeline(models=models, verbose=False, param_dtype=jnp.bfloat16)
-
-    from vexpress_tpu.pipelines.context import compute_context_windows
 
     windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)
     n_windows = len(windows)
@@ -57,39 +56,42 @@ def main():
         for l, c in models.unet_config.ref_feature_shapes(h, w)
     )
 
-    step = pipe._build_denoise_step(windows, inv_counts, num_steps, guidance_scale, window_group)
-    ref_scale = jnp.bfloat16(0.95)
-    audio_scale = jnp.bfloat16(3.0)
+    group_step, ddim = pipe._build_piecewise_programs(num_steps, guidance_scale)
+    idx = jnp.asarray(windows[:1].astype(np.int32))
+    wts = jnp.asarray(inv_counts[windows[:1]])
+    acc = jnp.zeros_like(latents)
+    rs, as_ = jnp.bfloat16(0.95), jnp.bfloat16(3.0)
 
-    # warmup/compile
+    # warmup/compile (persistent cache makes this fast on later runs)
     t0 = time.time()
-    out = step(latents, jnp.asarray(999), kps_feat, audio_tok, ref_feats, ref_scale, audio_scale)
-    out.block_until_ready()
+    out = group_step(acc, latents, jnp.asarray(999), idx, wts, kps_feat, audio_tok,
+                     ref_feats, rs, as_)
+    np.asarray(out)  # device_get forces true completion (block_until_ready can
+    # return early through the axon tunnel runtime)
     compile_s = time.time() - t0
 
-    # steady state: measure several steps
-    reps = 3
+    reps = 5
     t0 = time.time()
-    cur = latents
-    for i in range(reps):
-        cur = step(cur, jnp.asarray(999 - 40 * i), kps_feat, audio_tok, ref_feats,
-                   ref_scale, audio_scale)
-    cur.block_until_ready()
-    step_s = (time.time() - t0) / reps
+    out = acc
+    for _ in range(reps):
+        out = group_step(out, latents, jnp.asarray(999), idx, wts, kps_feat, audio_tok,
+                         ref_feats, rs, as_)
+    np.asarray(out)
+    window_s = (time.time() - t0) / reps
+
+    np.asarray(ddim(out, jnp.asarray(999), latents))
 
     # VAE decode throughput (16-frame chunks)
     chunk = 16
-    z = jnp.zeros((chunk, h, w, 4), jnp.bfloat16)
-    dec = jax.jit(lambda z: pipe.vae.apply(pipe.params["vae"], z / 0.18215,
-                                           method=type(pipe.vae).decode))
-    dec(z).block_until_ready()
+    z = jnp.zeros((chunk, h, w, 4), jnp.float32)
+    np.asarray(pipe._decode_chunk(z))
     t0 = time.time()
     for _ in range(3):
-        r = dec(z)
-    r.block_until_ready()
+        r = pipe._decode_chunk(z)
+    np.asarray(r)
     decode_s_per_frame = (time.time() - t0) / 3 / chunk
 
-    denoise_total = num_steps * step_s
+    denoise_total = num_steps * n_windows * window_s
     decode_total = video_length * decode_s_per_frame
     total = denoise_total + decode_total
     fps = video_length / total
@@ -102,7 +104,7 @@ def main():
         "detail": {
             "video_length": video_length,
             "n_windows": n_windows,
-            "denoise_step_s": round(step_s, 3),
+            "window_step_s": round(window_s, 3),
             "decode_s_per_frame": round(decode_s_per_frame, 4),
             "compile_s": round(compile_s, 1),
             "device": str(jax.devices()[0]),

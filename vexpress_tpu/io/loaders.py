@@ -56,17 +56,21 @@ def _host_fill(tree_shapes, seed: int = 0) -> Dict[str, Any]:
     """
     rng = np.random.default_rng(seed)
 
-    def fill(leaf):
+    def fill(path, leaf):
         shape = tuple(leaf.shape)
-        if not shape or shape[-1] == 0:
+        name = getattr(path[-1], "key", "") if path else ""
+        if not shape:
             return np.zeros(shape, np.float32)
-        if len(shape) == 1:  # biases / norm params
+        if len(shape) == 1:
+            # norm scales must be ones or the whole network collapses to zero
+            if name == "scale":
+                return np.ones(shape, np.float32)
             return np.zeros(shape, np.float32)
         out = rng.standard_normal(shape, dtype=np.float32)
         out *= 0.02
         return out
 
-    return jax.tree_util.tree_map(fill, tree_shapes)
+    return jax.tree_util.tree_map_with_path(fill, tree_shapes)
 
 
 def _init_params(pipe: VExpressPipeline, models: PipelineModels) -> Dict[str, Any]:

@@ -19,26 +19,32 @@ import numpy as np
 from ..utils.media_native import mux_audio_video, native_available
 
 
-def median_filter_3d(video: jax.Array, kernel_size: int = 3, frame_chunk: int = 8) -> jax.Array:
+def median_filter_3d(video: jax.Array, kernel_size: int = 3, frame_chunk: int = 2) -> jax.Array:
     """3-D median filter over (F, H, W, C) in [0,1], reflect padding
-    (pipelines/utils.py:46-61). Runs fully on device."""
+    (pipelines/utils.py:46-61). Runs fully on device.
+
+    Internally works in (F, C, H, W) so the TPU tile dims (sublane, lane) land
+    on H, W — channels-last here would pad C=3 to 128 lanes (a 42x memory
+    blowup on the 27-patch stack)."""
     k = kernel_size
     pad = k // 2
     f, h, w, c = video.shape
-    v = jnp.pad(video, ((pad, pad), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+    v = video.transpose(0, 3, 1, 2)  # (F, C, H, W)
+    v = jnp.pad(v, ((pad, pad), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
 
     def one_frame(i):
-        # (k, H+2p, W+2p, C) neighborhood of frame i
-        seg = jax.lax.dynamic_slice(v, (i, 0, 0, 0), (k, h + 2 * pad, w + 2 * pad, c))
+        # (k, C, H+2p, W+2p) neighborhood of frame i
+        seg = jax.lax.dynamic_slice(v, (i, 0, 0, 0), (k, c, h + 2 * pad, w + 2 * pad))
         patches = [
-            seg[:, dy : dy + h, dx : dx + w, :]
+            seg[:, :, dy : dy + h, dx : dx + w]
             for dy in range(k)
             for dx in range(k)
         ]
-        stack = jnp.stack(patches, axis=0).reshape(k * k * k, h, w, c)
+        stack = jnp.stack(patches, axis=0).reshape(k * k * k, c, h, w)
         return jnp.median(stack, axis=0)
 
-    return jax.lax.map(one_frame, jnp.arange(f), batch_size=frame_chunk)
+    out = jax.lax.map(one_frame, jnp.arange(f), batch_size=frame_chunk)
+    return out.transpose(0, 2, 3, 1)
 
 
 def save_video(
