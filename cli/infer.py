@@ -61,7 +61,7 @@ def parse_args():
     p.add_argument("--context_overlap", type=int, default=4)
     p.add_argument("--reference_attention_weight", type=float, default=0.95)
     p.add_argument("--audio_attention_weight", type=float, default=3.0)
-    p.add_argument("--window_group", type=int, default=2,
+    p.add_argument("--window_group", type=int, default=1,
                    help="context windows per UNet call (memory/throughput knob)")
     p.add_argument("--no_median_filter", action="store_true")
     return p.parse_args()

