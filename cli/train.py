@@ -94,6 +94,10 @@ def main():
         adam_epsilon=float(solver["adam_epsilon"]),
         max_grad_norm=float(solver["max_grad_norm"]),
         gradient_accumulation_steps=int(solver.get("gradient_accumulation_steps", 1)),
+        lr_scheduler=solver.get("lr_scheduler", "constant"),
+        lr_warmup_steps=int(solver.get("lr_warmup_steps", 1)),
+        max_train_steps=int(solver.get("max_train_steps", 40000)),
+        reduce_optimizer_memory=bool(solver.get("use_8bit_adam", False)),
         prediction_type="v_prediction" if cfg.get("enable_zero_snr", True) else "epsilon",
         snr_gamma=float(cfg.get("snr_gamma", 5.0)),
         uncond_ratio=float(cfg.get("uncond_ratio", 0.1)),

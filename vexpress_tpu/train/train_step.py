@@ -40,12 +40,18 @@ class TrainConfig:
     train_motion_module: bool = False
     # solver
     learning_rate: float = 1e-6
+    lr_scheduler: str = "constant"  # {constant, linear, cosine}
+    lr_warmup_steps: int = 1
+    max_train_steps: int = 40000
     adam_beta1: float = 0.9
     adam_beta2: float = 0.999
     adam_weight_decay: float = 1e-2
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
+    # memory-reduced optimizer state (the reference's bitsandbytes 8-bit Adam
+    # analog, train.py:464-472): store Adam momenta in bfloat16
+    reduce_optimizer_memory: bool = False
     # objective
     prediction_type: str = "v_prediction"  # enable_zero_snr -> v_prediction
     snr_gamma: float = 5.0
@@ -127,6 +133,27 @@ def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
     return masks
 
 
+def make_lr_schedule(cfg: TrainConfig):
+    """HF get_scheduler equivalents used by the reference (train.py:484-489)."""
+    warmup = max(cfg.lr_warmup_steps, 0)
+    total = max(cfg.max_train_steps, warmup + 1)
+    if cfg.lr_scheduler == "constant":
+        if warmup <= 1:
+            return cfg.learning_rate
+        return optax.linear_schedule(0.0, cfg.learning_rate, warmup)
+    if cfg.lr_scheduler == "linear":
+        return optax.join_schedules(
+            [
+                optax.linear_schedule(0.0, cfg.learning_rate, warmup),
+                optax.linear_schedule(cfg.learning_rate, 0.0, total - warmup),
+            ],
+            [warmup],
+        )
+    if cfg.lr_scheduler == "cosine":
+        return optax.warmup_cosine_decay_schedule(0.0, cfg.learning_rate, warmup, total)
+    raise ValueError(f"unsupported lr_scheduler {cfg.lr_scheduler}")
+
+
 def make_optimizer(params, cfg: TrainConfig) -> Tuple[optax.GradientTransformation, Any]:
     """AdamW on trainable params only, global-norm clipping, optional
     gradient accumulation (train.py:464-489 + accelerate grad-accum)."""
@@ -135,11 +162,12 @@ def make_optimizer(params, cfg: TrainConfig) -> Tuple[optax.GradientTransformati
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.masked(
             optax.adamw(
-                cfg.learning_rate,
+                make_lr_schedule(cfg),
                 b1=cfg.adam_beta1,
                 b2=cfg.adam_beta2,
                 eps=cfg.adam_epsilon,
                 weight_decay=cfg.adam_weight_decay,
+                mu_dtype=jnp.bfloat16 if cfg.reduce_optimizer_memory else None,
             ),
             mask,
         ),
