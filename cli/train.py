@@ -34,6 +34,9 @@ def main():
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--max_steps_override", type=int, default=0)
     parser.add_argument("--dtype", type=str, default="fp32", help="compute dtype {fp32, bf16}")
+    parser.add_argument("--piecewise", type=str, default="auto", choices=["auto", "on", "off"],
+                        help="block-granular backprop (needed on TPUs whose compiler cannot "
+                             "build whole-model fwd+bwd programs); auto = on for tpu backend")
     args = parser.parse_args()
 
     cfg = load_yaml(args.config)
@@ -109,16 +112,30 @@ def main():
 
     params = pipe.params
     tx, mask = make_optimizer(params, tcfg)
-    step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
 
-    mesh = create_mesh()
-    n_dev = mesh.shape["dp"]
-    repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("dp"))
+    use_piecewise = args.piecewise == "on" or (
+        args.piecewise == "auto" and jax.default_backend() == "tpu"
+    )
+    if use_piecewise:
+        from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
 
-    params = jax.device_put(params, repl)
-    opt_state = jax.device_put(tx.init(params), shard_opt_state_zero2(tx.init(params), mesh))
-    state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        trainer = PiecewiseTrainer(pipe, tcfg, tx, mask=mask)
+        mesh = None
+        n_dev = 1
+        batch_sh = None
+        opt_state = tx.init(params)
+        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        print("[vexpress] piecewise (block-granular backprop) training mode")
+    else:
+        step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
+        mesh = create_mesh()
+        n_dev = mesh.shape["dp"]
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P("dp"))
+
+        params = jax.device_put(params, repl)
+        opt_state = jax.device_put(tx.init(params), shard_opt_state_zero2(tx.init(params), mesh))
+        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
 
     out_dir = cfg.get("output_dir", "./exp_output")
     os.makedirs(out_dir, exist_ok=True)
@@ -146,7 +163,7 @@ def main():
         raise SystemExit(f"train_bs {batch_size} must be divisible by mesh size {n_dev}")
     batches = dataset.batches(batch_size)
 
-    jit_step = jax.jit(step_fn, donate_argnums=0)
+    jit_step = trainer.step if use_piecewise else jax.jit(step_fn, donate_argnums=0)
     max_steps = args.max_steps_override or int(solver["max_train_steps"])
     key = jax.random.PRNGKey(cfg.get("seed", 0))
     ckpt_every = int(cfg.get("checkpointing_steps", 5000))
@@ -160,7 +177,8 @@ def main():
     losses = []
     for step_i in range(int(state.step), max_steps):
         batch = next(batches)
-        batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+        if batch_sh is not None:
+            batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
         timer.data_done()
         key, sub = jax.random.split(key)
         state, metrics = jit_step(state, batch, sub)

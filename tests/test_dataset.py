@@ -1,0 +1,87 @@
+"""Dataset loader test against a synthetic on-disk fixture (mp4 + face-info
+.pt + audio-embeds .pt), exercising the same file formats the reference's
+prepare_dataset tooling emits."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+torch = pytest.importorskip("torch")
+
+from vexpress_tpu.train.dataset import TalkingFaceVideoDataset, audio_frame_embeddings_np
+
+
+@pytest.fixture(scope="module")
+def fixture_meta(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ds")
+    T, H, W = 80, 128, 128
+    rng = np.random.default_rng(0)
+
+    video_path = str(d / "clip.mp4")
+    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"), 25, (W, H))
+    for i in range(T):
+        frame = rng.integers(0, 255, size=(H, W, 3), dtype=np.uint8)
+        writer.write(frame)
+    writer.release()
+
+    face_info = []
+    for i in range(T):
+        face_info.append([{
+            "bbox": np.array([30.0, 30.0, 90.0, 100.0]),
+            "kps": rng.uniform(40, 90, (5, 2)),
+            "det_score": 0.99,
+            "landmark_2d_106": rng.uniform(35, 95, (106, 2)),
+        }])
+    torch.save(face_info, str(d / "face.pt"))
+
+    torch.save({"global_embeds": torch.randn(120, 1, 16)}, str(d / "aud.pt"))
+
+    meta = [{"video": video_path, "face_info": str(d / "face.pt"), "audio_embeds": str(d / "aud.pt")}]
+    meta_path = str(d / "meta.json")
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+    return meta_path
+
+
+def test_get_sample_shapes(fixture_meta):
+    ds = TalkingFaceVideoDataset(
+        meta_paths=[fixture_meta], image_size=(64, 64), flip_rate=0.5,
+        num_frames=4, reference_margin=10, seed=0,
+    )
+    sample = ds.get_sample(0)
+    assert sample is not None
+    assert sample["reference_image"].shape == (64, 64, 3)
+    assert sample["target_images"].shape == (4, 64, 64, 3)
+    assert sample["kps_images"].shape == (4, 64, 64, 3)
+    assert sample["audio_frame_embeddings"].shape == (4, 10, 16)
+    assert sample["face_masks"].shape == (4, 8, 8)
+    assert sample["lip_masks"].shape == (4, 8, 8)
+    assert -1.0 <= sample["target_images"].min() and sample["target_images"].max() <= 1.0
+    assert 0.0 <= sample["kps_images"].min() and sample["kps_images"].max() <= 1.0
+
+
+def test_batches_iterator(fixture_meta):
+    ds = TalkingFaceVideoDataset(meta_paths=[fixture_meta], image_size=(64, 64),
+                                 num_frames=2, reference_margin=5, seed=1)
+    it = ds.batches(batch_size=2, num_workers=2, prefetch=1)
+    batch = next(it)
+    assert batch["target_images"].shape == (2, 2, 64, 64, 3)
+    assert batch["audio_frame_embeddings"].shape == (2, 2, 10, 16)
+
+
+def test_audio_windows_match_pipeline_math(fixture_meta):
+    """Dataset windowing must equal the inference-side windowing
+    (talking_face_video.py:70-95 mirrors v_express_pipeline.py:374-407)."""
+    import jax.numpy as jnp
+
+    from vexpress_tpu.pipelines.audio import audio_frame_windows
+
+    rng = np.random.default_rng(2)
+    emb = rng.normal(size=(50, 8)).astype(np.float32)
+    L = 20
+    ds_out = audio_frame_embeddings_np(emb, list(range(L)), L, num_pad=2)
+    pipe_out = np.asarray(audio_frame_windows(jnp.asarray(emb), L, 2))
+    np.testing.assert_allclose(ds_out, pipe_out, atol=1e-5)
