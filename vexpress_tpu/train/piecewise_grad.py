@@ -31,6 +31,12 @@ from ..models.piecewise import _ConvIn, _ConvOut, _TimeEmbed, _sub, _top
 from ..models.unet_3d import UNetConfig
 
 
+def _retry(fn, label, *args):
+    from ..utils.runtime import with_compile_retries
+
+    return with_compile_retries(fn, *args, label=label)
+
+
 class StageChain:
     """A chain of stages with jitted per-stage forward and vjp programs.
 
@@ -50,7 +56,9 @@ class StageChain:
     def _fwd(self, i):
         if i not in self._fwd_jits:
             fn = self.stages[i][1]
-            self._fwd_jits[i] = jax.jit(fn)
+            jitted = jax.jit(fn)
+            name = f"{self.name}/{self.stages[i][0]}/fwd"
+            self._fwd_jits[i] = lambda *a, _j=jitted, _n=name: _retry(_j, _n, *a)
         return self._fwd_jits[i]
 
     def _bwd(self, i):
@@ -61,7 +69,9 @@ class StageChain:
                 _, vjp_fn = jax.vjp(fn, params, state, consts)
                 return vjp_fn((cot_state, cot_aux))
 
-            self._bwd_jits[i] = jax.jit(bwd)
+            jitted = jax.jit(bwd)
+            name = f"{self.name}/{self.stages[i][0]}/bwd"
+            self._bwd_jits[i] = lambda *a, _j=jitted, _n=name: _retry(_j, _n, *a)
         return self._bwd_jits[i]
 
     def forward(self, params_list: Sequence, state, consts_list: Sequence):

@@ -92,8 +92,8 @@ class PiecewiseTrainer:
         def fn(p, kps_images, uncond, keep):
             feats = self.m.v_kps_guider.apply(p, kps_images)
             if self.cfg.kps_drop_rate > 0:
-                feats = feats * keep
-            return feats * (1.0 - uncond)
+                feats = feats * keep.astype(feats.dtype)
+            return feats * (1.0 - uncond).astype(feats.dtype)
 
         return self._jit("cond_kps_fwd", fn)(p, kps_images, uncond, keep), fn
 
@@ -102,7 +102,7 @@ class PiecewiseTrainer:
             b, f = afe.shape[0], afe.shape[1]
             tok = self.m.audio_projection.apply(p, afe.reshape((-1,) + afe.shape[2:]))
             tok = tok.reshape((b, f) + tok.shape[1:])
-            return tok * (1.0 - uncond)
+            return tok * (1.0 - uncond).astype(tok.dtype)
 
         return self._jit("cond_audio_fwd", fn)(p, afe, uncond), fn
 
@@ -120,9 +120,9 @@ class PiecewiseTrainer:
 
     def _scale_refs_fwd(self, banks, uncond, ref_keep):
         def fn(banks, uncond, ref_keep):
-            out = tuple(bk * (1.0 - uncond) for bk in banks)
+            out = tuple(bk * (1.0 - uncond).astype(bk.dtype) for bk in banks)
             if self.cfg.reference_drop_rate > 0:
-                out = tuple(bk * ref_keep for bk in out)
+                out = tuple(bk * ref_keep.astype(bk.dtype) for bk in out)
             return out
 
         return self._jit("scale_refs_fwd", fn)(banks, uncond, ref_keep), fn
@@ -172,20 +172,19 @@ class PiecewiseTrainer:
         kps_bwd = self._bwd_of("cond_kps", kps_fn, 1)
         grads["v_kps_guider"] = kps_bwd(
             (params["v_kps_guider"], batch["kps_images"], prep["uncond"], prep["kps_keep"]),
-            cots["kps"],
+            cots["kps"].astype(kps_feat.dtype),
         )[0]
 
         audio_bwd = self._bwd_of("cond_audio", audio_fn, 1)
         grads["audio_projection"] = audio_bwd(
             (params["audio_projection"], batch["audio_frame_embeddings"], prep["uncond"]),
-            cots["ctx"].reshape(batch["audio_frame_embeddings"].shape[0],
-                                batch["audio_frame_embeddings"].shape[1],
-                                *cots["ctx"].shape[2:]),
+            cots["ctx"].astype(tok.dtype),
         )[0]
 
         refs_bwd = self._bwd_of("scale_refs", refs_fn, 1)
         cot_banks = refs_bwd(
-            (banks, prep["uncond"], prep["ref_keep"]), tuple(cots["refs"])
+            (banks, prep["uncond"], prep["ref_keep"]),
+            tuple(c.astype(b_.dtype) for c, b_ in zip(cots["refs"], refs)),
         )[0]
         grads["reference_net"] = refnet_bwd(cot_banks)
 

@@ -50,7 +50,11 @@ def with_compile_retries(fn, *args, retries: int = 3, wait_s: float = 15.0, labe
         except jax.errors.JaxRuntimeError as e:  # transport/compile-service errors
             last = e
             msg = str(e)
-            if "UNAVAILABLE" not in msg and "Broken pipe" not in msg and "transport" not in msg:
+            transient = any(s in msg for s in (
+                "UNAVAILABLE", "Broken pipe", "transport", "remote_compile",
+                "read body", "response body closed", "HTTP 5",
+            ))
+            if not transient:
                 raise
             print(f"[vexpress] transient compile failure{f' in {label}' if label else ''} "
                   f"(attempt {attempt + 1}/{retries}): {msg[:120]}", flush=True)
