@@ -1,20 +1,23 @@
 #!/usr/bin/env python
-"""Benchmark: generated frames/sec at 512x512, 25-step denoise (V-Express
-headline workload; BASELINE.md: reference achieves ~0.36 frames/s on V100 for
-this configuration — 930 frames in 2617 s, README.md:116).
+"""Benchmark: HONEST end-to-end generated frames/sec at 512x512, 25-step
+denoise (V-Express headline workload; BASELINE.md: the reference achieves
+~0.36 frames/s on V100 — 930 frames in 2617 s INCLUDING model loading,
+conditioning precompute, the denoise loop and decode, inference.py:141->317).
 
-Measures the steady-state denoise throughput of the production (piecewise)
-window-group step on the real chip — one full 24-frame context window per
-UNet pass, CFG batch 2 — plus batched VAE decode, and derives end-to-end
-generated frames/sec:
-  total = num_steps * num_windows * t_window + L * t_decode  ->  fps = L / total
+This runs the REAL `VExpressPipeline.__call__` — reference-net forward, kps
+guider, wav2vec2 + audio projection conditioning, the 25-step blended-window
+denoise loop and chunked VAE decode — on an AOC-sized clip (124 frames), and
+reports cold (first call, compile-cache warm) and steady-state (second call)
+end-to-end fps separately. The headline `value` is the steady-state
+end-to-end number; `detail` carries the full breakdown.
 
 Prints ONE JSON line:
-  {"metric": "frames_per_sec_512x512_25step", "value": N, "unit": "frames/s",
-   "vs_baseline": N / 0.36}
+  {"metric": "frames_per_sec_512x512_25step_e2e", "value": N,
+   "unit": "frames/s", "vs_baseline": N / 0.36, "detail": {...}}
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -23,6 +26,8 @@ BASELINE_FPS = 0.36
 
 
 def main():
+    quick = "--quick" in sys.argv
+
     import jax
     import jax.numpy as jnp
 
@@ -39,74 +44,66 @@ def main():
     context_frames, context_overlap = 24, 4
     guidance_scale = 3.5
     video_length = 124  # AOC-sized clip: 6 windows
+    fps_video = 30.0
 
+    t0 = time.time()
     models = default_pipeline_models(dtype=jnp.bfloat16)
     pipe = load_pipeline(models=models, verbose=False, param_dtype=jnp.bfloat16)
+    startup_s = time.time() - t0
 
-    windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)
-    n_windows = len(windows)
+    rng = np.random.default_rng(0)
+    reference_image = rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
+    kps_images = rng.uniform(0, 1, (video_length, height, width, 3)).astype(np.float32)
+    n_samples = int(video_length / fps_video * 16000)
+    waveform = (0.1 * rng.standard_normal(n_samples)).astype(np.float32)
 
-    h, w = height // 8, width // 8
-    key = jax.random.PRNGKey(0)
-    latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
-    kps_feat = jnp.zeros((video_length, h, w, 320), jnp.bfloat16)
-    audio_tok = jnp.zeros((video_length, 5, 768), jnp.bfloat16)
-    ref_feats = tuple(
-        jnp.zeros((2, l, c), jnp.bfloat16)
-        for l, c in models.unet_config.ref_feature_shapes(h, w)
+    kwargs = dict(
+        reference_image=reference_image,
+        kps_images=kps_images,
+        audio_waveform=waveform,
+        width=width,
+        height=height,
+        video_length=video_length,
+        num_inference_steps=num_steps,
+        guidance_scale=guidance_scale,
+        context_frames=context_frames,
+        context_overlap=context_overlap,
+        seed=0,
     )
 
-    group_step, ddim = pipe._build_piecewise_programs(num_steps, guidance_scale)
-    idx = jnp.asarray(windows[:1].astype(np.int32))
-    wts = jnp.asarray(inv_counts[windows[:1]])
-    acc = jnp.zeros_like(latents)
-    rs, as_ = jnp.bfloat16(0.95), jnp.bfloat16(3.0)
+    def timed_call():
+        t = time.time()
+        video = pipe(**kwargs)
+        np.asarray(video)  # device_get forces true completion through the
+        # axon tunnel (block_until_ready can return early)
+        return time.time() - t, video
 
-    # warmup/compile (persistent cache makes this fast on later runs)
-    t0 = time.time()
-    out = group_step(acc, latents, jnp.asarray(999), idx, wts, kps_feat, audio_tok,
-                     ref_feats, rs, as_)
-    np.asarray(out)  # device_get forces true completion (block_until_ready can
-    # return early through the axon tunnel runtime)
-    compile_s = time.time() - t0
+    cold_s, video = timed_call()
+    assert video.shape == (video_length, height, width, 3)
+    assert np.isfinite(video).all()
 
-    reps = 5
-    t0 = time.time()
-    out = acc
-    for _ in range(reps):
-        out = group_step(out, latents, jnp.asarray(999), idx, wts, kps_feat, audio_tok,
-                         ref_feats, rs, as_)
-    np.asarray(out)
-    window_s = (time.time() - t0) / reps
+    if quick:
+        steady_s = cold_s
+    else:
+        steady_s, _ = timed_call()
 
-    np.asarray(ddim(out, jnp.asarray(999), latents))
-
-    # VAE decode throughput (16-frame chunks)
-    chunk = 16
-    z = jnp.zeros((chunk, h, w, 4), jnp.float32)
-    np.asarray(pipe._decode_chunk(z))
-    t0 = time.time()
-    for _ in range(3):
-        r = pipe._decode_chunk(z)
-    np.asarray(r)
-    decode_s_per_frame = (time.time() - t0) / 3 / chunk
-
-    denoise_total = num_steps * n_windows * window_s
-    decode_total = video_length * decode_s_per_frame
-    total = denoise_total + decode_total
-    fps = video_length / total
+    n_windows = len(compute_context_windows(video_length, context_frames, context_overlap)[0])
+    cold_fps = video_length / cold_s
+    steady_fps = video_length / steady_s
 
     result = {
-        "metric": "frames_per_sec_512x512_25step",
-        "value": round(fps, 3),
+        "metric": "frames_per_sec_512x512_25step_e2e",
+        "value": round(steady_fps, 3),
         "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "vs_baseline": round(steady_fps / BASELINE_FPS, 2),
         "detail": {
             "video_length": video_length,
             "n_windows": n_windows,
-            "window_step_s": round(window_s, 3),
-            "decode_s_per_frame": round(decode_s_per_frame, 4),
-            "compile_s": round(compile_s, 1),
+            "startup_s": round(startup_s, 1),
+            "cold_e2e_s": round(cold_s, 1),
+            "cold_e2e_fps": round(cold_fps, 3),
+            "steady_e2e_s": round(steady_s, 1),
+            "steady_e2e_fps": round(steady_fps, 3),
             "device": str(jax.devices()[0]),
         },
     }

@@ -63,6 +63,15 @@ def parse_args():
     p.add_argument("--audio_attention_weight", type=float, default=3.0)
     p.add_argument("--window_group", type=int, default=1,
                    help="context windows per UNet call (memory/throughput knob)")
+    p.add_argument("--do_multi_devices_inference", action="store_true",
+                   help="shard context windows over the device mesh (the working "
+                        "version of the reference's TODO flag, inference.py:143-149)")
+    p.add_argument("--mode", type=str, default="",
+                   help="denoise mode {streamed, fused, sharded}; default auto "
+                        "(sharded when --do_multi_devices_inference, else streamed)")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler device trace of the denoise loop "
+                        "into this directory (view with xprof/TensorBoard)")
     p.add_argument("--no_median_filter", action="store_true")
     return p.parse_args()
 
@@ -178,24 +187,39 @@ def main():
     def progress(i, t):
         print(f"[vexpress] denoise step {i + 1}/{args.num_inference_steps} (t={t})", flush=True)
 
-    video = pipeline(
-        reference_image=reference_image,
-        kps_images=kps_images,
-        audio_waveform=audio,
-        width=W,
-        height=H,
-        video_length=video_length,
-        num_inference_steps=args.num_inference_steps,
-        guidance_scale=args.guidance_scale,
-        context_frames=args.context_frames,
-        context_overlap=args.context_overlap,
-        reference_attention_weight=args.reference_attention_weight,
-        audio_attention_weight=args.audio_attention_weight,
-        num_pad_audio_frames=args.num_pad_audio_frames,
-        seed=args.seed,
-        window_group=args.window_group,
-        progress_callback=progress,
-    )
+    mode = args.mode or ("sharded" if args.do_multi_devices_inference else "streamed")
+    if mode == "sharded":
+        import jax
+
+        from vexpress_tpu.parallel.mesh import create_mesh
+
+        print(f"[vexpress] sharding context windows over {len(jax.devices())} devices")
+
+    from vexpress_tpu.utils.observability import device_trace
+
+    with device_trace(args.profile_dir or None):
+        video = pipeline(
+            reference_image=reference_image,
+            kps_images=kps_images,
+            audio_waveform=audio,
+            width=W,
+            height=H,
+            video_length=video_length,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            context_frames=args.context_frames,
+            context_overlap=args.context_overlap,
+            reference_attention_weight=args.reference_attention_weight,
+            audio_attention_weight=args.audio_attention_weight,
+            num_pad_audio_frames=args.num_pad_audio_frames,
+            seed=args.seed,
+            window_group=args.window_group,
+            mode=mode,
+            mesh=create_mesh() if mode == "sharded" else None,
+            progress_callback=progress,
+        )
+    if args.profile_dir:
+        print(f"[vexpress] device trace written to {args.profile_dir}")
 
     save_video(video, args.audio_path, args.output_path, fps,
                apply_median_filter=not args.no_median_filter)

@@ -37,6 +37,15 @@ def main():
     parser.add_argument("--piecewise", type=str, default="auto", choices=["auto", "on", "off"],
                         help="block-granular backprop (needed on TPUs whose compiler cannot "
                              "build whole-model fwd+bwd programs); auto = on for tpu backend")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler device trace of steps 2-4 "
+                             "(post-compile) into this directory")
+    # multi-host launch (the accelerate --num_machines/--machine_rank/
+    # --main_process_ip analog, reference train_stage.sh:23)
+    parser.add_argument("--coordinator_address", type=str, default="",
+                        help="host:port of process 0 for multi-host training")
+    parser.add_argument("--num_processes", type=int, default=0)
+    parser.add_argument("--process_id", type=int, default=-1)
     args = parser.parse_args()
 
     cfg = load_yaml(args.config)
@@ -45,6 +54,17 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if args.coordinator_address or args.num_processes > 0:
+        from vexpress_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator_address or None,
+            num_processes=args.num_processes or None,
+            process_id=args.process_id if args.process_id >= 0 else None,
+        )
+        print(f"[vexpress] distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
 
     from vexpress_tpu.utils.runtime import enable_compilation_cache
 
@@ -70,6 +90,13 @@ def main():
 
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     models = default_pipeline_models(dtype=dtype)
+    if solver.get("denoising_unet_gradient_checkpointing", False):
+        # reference train.py:448-451: per-block activation recompute
+        import dataclasses as _dc
+
+        models = _dc.replace(
+            models, unet_config=_dc.replace(models.unet_config, gradient_checkpointing=True)
+        )
     pipe = load_pipeline(
         models=models,
         vae_path=cfg.get("vae_model_path") or None,
@@ -110,32 +137,41 @@ def main():
         reference_drop_rate=float(data.get("reference_drop_rate", 0.0)),
     )
 
-    params = pipe.params
+    # stage-start zero-init of the audio/motion output projections
+    # (/root/reference/train.py:363-390; skipped for stage_2_resume)
+    from vexpress_tpu.train.train_step import stage_zero_init
+
+    params = stage_zero_init(pipe.params, cfg["train_stage"])
+    pipe.params = params
     tx, mask = make_optimizer(params, tcfg)
 
     use_piecewise = args.piecewise == "on" or (
         args.piecewise == "auto" and jax.default_backend() == "tpu"
     )
-    if use_piecewise:
-        from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
-
-        trainer = PiecewiseTrainer(pipe, tcfg, tx, mask=mask)
-        mesh = None
-        n_dev = 1
-        batch_sh = None
-        opt_state = tx.init(params)
-        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
-        print("[vexpress] piecewise (block-granular backprop) training mode")
-    else:
-        step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
-        mesh = create_mesh()
+    mesh = create_mesh() if len(jax.devices()) > 1 else None
+    if mesh is not None:
         n_dev = mesh.shape["dp"]
         repl = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, P("dp"))
-
         params = jax.device_put(params, repl)
         opt_state = jax.device_put(tx.init(params), shard_opt_state_zero2(tx.init(params), mesh))
-        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+    else:
+        n_dev = 1
+        batch_sh = None
+        opt_state = tx.init(params)
+    state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+
+    if use_piecewise:
+        from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
+
+        # DP over the mesh composes with the per-block programs through GSPMD
+        # sharding propagation: batch arrays carry P("dp"), params replicated,
+        # so every per-stage forward/vjp program runs SPMD and parameter
+        # gradients are all-reduced inside the programs.
+        trainer = PiecewiseTrainer(pipe, tcfg, tx, mask=mask)
+        print("[vexpress] piecewise (block-granular backprop) training mode")
+    else:
+        step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
 
     out_dir = cfg.get("output_dir", "./exp_output")
     os.makedirs(out_dir, exist_ok=True)
@@ -169,13 +205,21 @@ def main():
     ckpt_every = int(cfg.get("checkpointing_steps", 5000))
     log_every = 10
 
-    print(f"[vexpress] training {cfg['train_stage']} on mesh {dict(mesh.shape)}: "
+    mesh_desc = dict(mesh.shape) if mesh is not None else {"dp": 1}
+    print(f"[vexpress] training {cfg['train_stage']} on mesh {mesh_desc}: "
           f"bs={batch_size}, frames={data['num_frames']}, max_steps={max_steps}")
     mlog = MetricsLogger(out_dir)
     timer = StepTimer()
     t0 = time.time()
     losses = []
-    for step_i in range(int(state.step), max_steps):
+    profiling = False
+    start_step = int(state.step)
+    for step_i in range(start_step, max_steps):
+        if args.profile_dir and step_i == start_step + 1 and not profiling:
+            import jax.profiler
+
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
         batch = next(batches)
         if batch_sh is not None:
             batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
@@ -184,6 +228,13 @@ def main():
         state, metrics = jit_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
         timer.step_done()
+        if profiling and step_i >= start_step + 3:
+            import jax.profiler
+
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"[vexpress] device trace (steps {start_step + 2}-{start_step + 4}) "
+                  f"written to {args.profile_dir}")
         if (step_i + 1) % log_every == 0:
             dt_ = time.time() - t0
             mlog.log(step_i + 1, {"train_loss": float(np.mean(losses)),

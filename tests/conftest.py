@@ -11,3 +11,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite is dominated by CPU compiles of
+# grad programs; repeat runs hit the on-disk cache instead.
+from vexpress_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -118,6 +118,53 @@ def test_streamed_matches_fused(tiny_pipeline):
     np.testing.assert_allclose(lat_streamed, lat_fused, atol=1e-5, rtol=1e-5)
 
 
+def test_shape_bucketing_conditioning(tiny_pipeline):
+    """Bucketed conditioning (SURVEY §7 static shapes): chunked kps features
+    are exact; bucketed audio equals the unbucketed path when the waveform
+    already fills a bucket, and stays well-formed when padded."""
+    rng = np.random.default_rng(11)
+    L, H, W = 12, 64, 64
+
+    kps = jnp.asarray(rng.uniform(size=(L, H, W, 3)).astype(np.float32))
+    a = tiny_pipeline._kps_features(kps)
+    b = tiny_pipeline._kps_features_chunked(kps, chunk=5)
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
+
+    wf = rng.normal(size=(6400,)).astype(np.float32)
+    tok_exact = tiny_pipeline._audio_tokens(jnp.asarray(wf), L, 2)
+    tok_nopad = tiny_pipeline._audio_tokens_bucketed(wf, L, 2, bucket_s=6400 / 16000,
+                                                     proj_chunk=5)
+    np.testing.assert_allclose(np.asarray(tok_nopad), np.asarray(tok_exact),
+                               atol=5e-5, rtol=1e-4)
+
+    tok_padded = tiny_pipeline._audio_tokens_bucketed(wf, L, 2, bucket_s=1.0, proj_chunk=5)
+    assert tok_padded.shape == tok_exact.shape
+    assert np.isfinite(np.asarray(tok_padded)).all()
+
+
+def test_sharded_matches_streamed(tiny_pipeline):
+    """Window-parallel (mesh-sharded) inference with the REAL UNet must match
+    the single-device streamed path (VERDICT r1 item 3). Windows are sharded
+    over the 8-CPU mesh; weighted noise predictions are psum'd."""
+    from vexpress_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(6)
+    H = W = 64
+    L = 12
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(6400,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True,
+    )
+    lat_streamed = tiny_pipeline(mode="streamed", **kwargs)
+    lat_sharded = tiny_pipeline(mode="sharded", mesh=create_mesh(), **kwargs)
+    np.testing.assert_allclose(lat_sharded, lat_streamed, atol=1e-5, rtol=1e-5)
+
+
 def test_piecewise_matches_monolithic(tiny_pipeline):
     """Per-block UNet execution must equal the monolithic apply exactly."""
     import jax

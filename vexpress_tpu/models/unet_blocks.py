@@ -78,7 +78,11 @@ class DownBlock(nn.Module):
                     name=f"attentions_{i}",
                 )
                 if self.temporal:
-                    x = st(x, ctx, (refs.pop(),), scales[0], scales[1])
+                    # refs: RefFeatures cursor (piecewise runners) or a plain
+                    # per-block tuple indexed by layer (jittable pytree, used
+                    # by the remat-able monolithic path)
+                    ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1])
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)
@@ -127,7 +131,8 @@ class MidBlock(nn.Module):
                 name=f"attentions_{i}",
             )
             if self.temporal:
-                x = st(x, ctx, (refs.pop(),), scales[0], scales[1])
+                ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
+                x = st(x, ctx, (ref_i,), scales[0], scales[1])
             else:
                 x, banks = st(x, ctx)
                 refs.push(banks)
@@ -189,7 +194,8 @@ class UpBlock(nn.Module):
                     name=f"attentions_{i}",
                 )
                 if self.temporal:
-                    x = st(x, ctx, (refs.pop(),), scales[0], scales[1])
+                    ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1])
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)

@@ -25,6 +25,34 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: the TPU-native replacement for the reference's
+    `accelerate launch --num_machines/--machine_rank/--main_process_ip`
+    multinode wiring (train_stage.sh:23). After this, jax.devices() is the
+    GLOBAL device list, create_mesh() spans all hosts, and pjit collectives
+    ride ICI within a slice / DCN across slices.
+
+    With no arguments, jax.distributed.initialize auto-discovers the cluster
+    from the TPU environment; explicit args mirror the reference's flags.
+    Call once, before any other JAX API. No-op if already initialized.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:
+        if "already" not in str(e):  # idempotent re-init is fine
+            raise
+
+
 def create_mesh(n_devices: Optional[int] = None, axis_name: str = "dp") -> Mesh:
     devices = jax.devices()
     if n_devices is not None:

@@ -170,12 +170,93 @@ class VExpressPipeline:
         feats = self.v_kps_guider.apply(self.params["v_kps_guider"], kps_images[None])
         return feats[0]
 
+    def _kps_features_chunked(self, kps_images: jax.Array, chunk: int = 32) -> jax.Array:
+        """Shape-bucketed kps conditioning: the guider runs per-frame 2D convs
+        (frames folded into batch), so processing fixed-size frame chunks is
+        EXACT and reuses one compiled program for every clip length — instead
+        of a minutes-long remote recompile per new video_length."""
+        n = kps_images.shape[0]
+        if n <= chunk:
+            return self._kps_features(kps_images)
+        outs = []
+        for i in range(0, n, chunk):
+            sl = kps_images[i : i + chunk]
+            if sl.shape[0] < chunk:
+                pad = chunk - sl.shape[0]
+                sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
+                outs.append(self._kps_features(sl)[: chunk - pad])
+            else:
+                outs.append(self._kps_features(sl))
+        return jnp.concatenate(outs, axis=0)
+
     @functools.partial(jax.jit, static_argnums=(0, 2, 3))
     def _audio_tokens(self, waveform: jax.Array, video_length: int, num_pad: int) -> jax.Array:
         """(T,) -> (L, tokens, cross_dim)."""
         emb = self.audio_encoder.apply(self.params["wav2vec2"], waveform[None])[0]
         windows = audio_frame_windows(emb, video_length, num_pad)
         return self.audio_projection.apply(self.params["audio_projection"], windows)
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _wav2vec2_encode_prenorm(self, waveform: jax.Array) -> jax.Array:
+        """(1, T_bucket) pre-normalized waveform -> (T', hidden)."""
+        import dataclasses as _dc
+
+        model = Wav2Vec2Model(
+            _dc.replace(self.m.wav2vec2_config, do_normalize=False), dtype=self.m.dtype
+        )
+        return model.apply(self.params["wav2vec2"], waveform)[0]
+
+    @functools.partial(jax.jit, static_argnums=0)
+    def _audio_projection_chunk(self, windows: jax.Array) -> jax.Array:
+        return self.audio_projection.apply(self.params["audio_projection"], windows)
+
+    def _audio_tokens_bucketed(
+        self,
+        waveform: np.ndarray,
+        video_length: int,
+        num_pad: int,
+        bucket_s: float = 5.0,
+        sample_rate: int = 16000,
+        proj_chunk: int = 64,
+    ) -> jax.Array:
+        """Shape-bucketed audio conditioning (SURVEY §7 "static shapes").
+
+        The wav2vec2 encode is the only waveform-length-dependent program; its
+        input is padded up to a multiple of `bucket_s` seconds by TILING the
+        waveform (wrap padding keeps the per-channel GroupNorm time statistics
+        of the feature extractor stationary, unlike zero padding), normalized
+        with the TRUE waveform's mean/var, and the embedding sliced back to
+        the true frame count. Tail-of-clip embeddings can differ slightly from
+        the unbucketed path (bidirectional attention sees the wrap pad) — the
+        same approximation transformers makes when batching unequal lengths.
+        Interp + windowing run on host; the audio projection runs in fixed
+        `proj_chunk` frame chunks (exact). Net effect: a new clip duration
+        compiles ZERO new programs once one clip per bucket has run.
+        """
+        t_true = int(np.shape(waveform)[0])
+        bucket = max(int(bucket_s * sample_rate), 1)
+        t_pad = -(-t_true // bucket) * bucket
+        wf = np.asarray(waveform, np.float32)
+        wf = (wf - wf.mean()) / np.sqrt(wf.var() + 1e-7)
+        if t_pad > t_true:
+            reps = -(-t_pad // t_true)
+            wf = np.tile(wf, reps)[:t_pad]
+        n_true = self.m.wav2vec2_config.num_output_frames(t_true)
+
+        emb = self._wav2vec2_encode_prenorm(jnp.asarray(wf, self.m.dtype)[None])
+        emb = emb[:n_true]
+
+        windows = audio_frame_windows(emb, video_length, num_pad)  # eager, host-driven
+        outs = []
+        for i in range(0, video_length, proj_chunk):
+            sl = windows[i : i + proj_chunk]
+            if sl.shape[0] < proj_chunk:
+                pad = proj_chunk - sl.shape[0]
+                sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
+                outs.append(self._audio_projection_chunk(sl)[: proj_chunk - pad])
+            else:
+                outs.append(self._audio_projection_chunk(sl))
+        return jnp.concatenate(outs, axis=0)
 
     @functools.partial(jax.jit, static_argnums=0)
     def _decode_chunk(self, latents: jax.Array) -> jax.Array:
@@ -318,30 +399,25 @@ class VExpressPipeline:
             tt = jnp.asarray(int(t))
             acc = jnp.zeros_like(latents, dtype=jnp.float32)
             for gi in range(n_groups):
-                acc = group_step(acc, latents, tt, idx_dev[gi], w_dev[gi], kps_feat,
-                                 audio_tok, ref_feats, ref_scale, audio_scale)
-            latents = ddim(acc, tt, latents)
+                acc = with_compile_retries(
+                    group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_feat,
+                    audio_tok, ref_feats, ref_scale, audio_scale, label="group step")
+            latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
             if progress_callback is not None:
                 latents.block_until_ready()
                 progress_callback(i, int(t))
         return latents
 
-    def _build_denoise_step(
-        self,
-        windows: np.ndarray,
-        inv_counts: np.ndarray,
-        num_inference_steps: int,
-        guidance_scale: float,
-        window_group: int,
-    ):
-        """One jitted denoise step over all context windows of the video."""
+    def _make_window_predict(self, guidance_scale: float):
+        """The real-UNet window predict closure shared by the fused and the
+        mesh-sharded denoise paths: (g, win, h, w, 4) window latents + full
+        conditioning pytree -> CFG-combined noise predictions."""
         do_cfg = guidance_scale > 1.0
         unet = self.denoising_unet
         unet_params = self.params["denoising_unet"]
         dt = self.m.dtype
 
         def predict(lat, t, w_idx, cond):
-            """(g, win, h, w, 4) window latents -> CFG-combined noise preds."""
             kps_feat, audio_tok, ref_feats, ref_scale, audio_scale = cond
             lat = lat.astype(dt)
             kps = kps_feat[w_idx].astype(dt)
@@ -359,8 +435,47 @@ class VExpressPipeline:
                 pred = uncond + guidance_scale * (cond_p - uncond)
             return pred
 
+        return predict
+
+    def _build_denoise_step(
+        self,
+        windows: np.ndarray,
+        inv_counts: np.ndarray,
+        num_inference_steps: int,
+        guidance_scale: float,
+        window_group: int,
+    ):
+        """One jitted denoise step over all context windows of the video."""
+        predict = self._make_window_predict(guidance_scale)
         step_fn = build_blended_denoise_step(
             predict, self.scheduler, windows, inv_counts, num_inference_steps, window_group
+        )
+
+        def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale):
+            return step_fn(latents, t, (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
+
+        return jax.jit(wrapped)
+
+    def _build_sharded_denoise_step(
+        self,
+        windows: np.ndarray,
+        inv_counts: np.ndarray,
+        num_inference_steps: int,
+        guidance_scale: float,
+        window_group: int,
+        mesh,
+    ):
+        """Window-parallel denoise step: the window axis is sharded over the
+        device mesh (each chip runs the UNet on its window shard; weighted
+        noise predictions are psum'd). This does properly what the reference's
+        `--do_multi_devices_inference` flag only gestures at
+        (/root/reference/inference.py:143-149)."""
+        from ..parallel.mesh import window_parallel_step
+
+        predict = self._make_window_predict(guidance_scale)
+        step_fn = window_parallel_step(
+            predict, self.scheduler, windows, inv_counts, num_inference_steps, mesh,
+            window_group=window_group,
         )
 
         def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale):
@@ -389,6 +504,8 @@ class VExpressPipeline:
         window_group: int = 1,
         mode: str = "streamed",
         piecewise: Optional[bool] = None,
+        shape_bucketing: Optional[bool] = None,
+        mesh=None,
         return_latents: bool = False,
         progress_callback=None,
     ) -> np.ndarray:
@@ -411,18 +528,30 @@ class VExpressPipeline:
             ref_latent.block_until_ready()
         if piecewise is None:
             piecewise = jax.default_backend() == "tpu"
+        if shape_bucketing is None:
+            # bucketed conditioning avoids minutes-long remote recompiles per
+            # new clip duration; exact math (unbucketed) elsewhere
+            shape_bucketing = jax.default_backend() == "tpu"
         with phase("reference-net features", verbose):
             ref_fn = self._reference_features_piecewise if piecewise else self._reference_features
             ref_feats = with_compile_retries(ref_fn, ref_latent, do_cfg, label="reference net")
             ref_feats[0].block_until_ready()
         with phase("kps features", verbose):
-            kps_feat = with_compile_retries(
-                self._kps_features, jnp.asarray(kps_images, dt), label="kps guider")
+            if shape_bucketing:
+                kps_feat = with_compile_retries(
+                    self._kps_features_chunked, jnp.asarray(kps_images, dt), label="kps guider")
+            else:
+                kps_feat = with_compile_retries(
+                    self._kps_features, jnp.asarray(kps_images, dt), label="kps guider")
             kps_feat.block_until_ready()
         with phase("audio tokens", verbose):
-            audio_tok = with_compile_retries(
-                self._audio_tokens, jnp.asarray(audio_waveform, dt), video_length,
-                num_pad_audio_frames, label="audio encoder")
+            if shape_bucketing:
+                audio_tok = self._audio_tokens_bucketed(
+                    np.asarray(audio_waveform), video_length, num_pad_audio_frames)
+            else:
+                audio_tok = with_compile_retries(
+                    self._audio_tokens, jnp.asarray(audio_waveform, dt), video_length,
+                    num_pad_audio_frames, label="audio encoder")
             audio_tok.block_until_ready()
 
         windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)
@@ -455,8 +584,27 @@ class VExpressPipeline:
                                ref_scale, audio_scale)
                 if progress_callback is not None:
                     progress_callback(i, int(t))
+        elif mode == "sharded":
+            if mesh is None:
+                from ..parallel.mesh import create_mesh
+
+                mesh = create_mesh()
+            cache_key = ("sharded", video_length, context_frames, context_overlap,
+                         num_inference_steps, float(guidance_scale), window_group,
+                         tuple(mesh.shape.items()))
+            if cache_key not in self._step_cache:
+                self._step_cache[cache_key] = self._build_sharded_denoise_step(
+                    windows, inv_counts, num_inference_steps, guidance_scale,
+                    window_group, mesh,
+                )
+            step = self._step_cache[cache_key]
+            for i, t in enumerate(timesteps):
+                latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
+                               ref_scale, audio_scale)
+                if progress_callback is not None:
+                    progress_callback(i, int(t))
         else:
-            raise ValueError(f"unknown mode {mode} (use 'streamed' or 'fused')")
+            raise ValueError(f"unknown mode {mode} (use 'streamed', 'fused' or 'sharded')")
 
         if return_latents:
             return np.asarray(latents)

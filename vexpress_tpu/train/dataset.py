@@ -37,6 +37,15 @@ def _to_numpy(x):
     return np.asarray(x)
 
 
+def _mix_seed(*parts: int) -> int:
+    """Deterministic integer seed from components (stable across runs and
+    PYTHONHASHSEED, unlike hash())."""
+    h = 0
+    for p in parts:
+        h = (h * 1_000_003 + int(p)) & 0xFFFFFFFFFFFF
+    return h
+
+
 def load_face_info(path: str):
     import torch
 
@@ -109,6 +118,7 @@ class TalkingFaceVideoDataset:
         self.num_pad = num_padding_audio_frames
         self.vae_scale_rate = vae_scale_rate
         self.lip_mask_scale = lip_mask_scale
+        self.seed = seed
         self.rng = random.Random(seed)
 
     def __len__(self) -> int:
@@ -116,19 +126,19 @@ class TalkingFaceVideoDataset:
 
     # ------------------------------------------------------------ sample
 
-    def _crop_params(self, h: int, w: int):
+    def _crop_params(self, h: int, w: int, rng: random.Random):
         """RandomResizedCrop(scale, ratio) parameter sampling (torchvision
         semantics with scale=(1,1): area-preserving aspect jitter)."""
         area = h * w
         for _ in range(10):
-            target_area = area * self.rng.uniform(*self.image_scale)
+            target_area = area * rng.uniform(*self.image_scale)
             log_ratio = (math.log(self.image_ratio[0]), math.log(self.image_ratio[1]))
-            aspect = math.exp(self.rng.uniform(*log_ratio))
+            aspect = math.exp(rng.uniform(*log_ratio))
             cw = int(round(math.sqrt(target_area * aspect)))
             ch = int(round(math.sqrt(target_area / aspect)))
             if 0 < cw <= w and 0 < ch <= h:
-                top = self.rng.randint(0, h - ch)
-                left = self.rng.randint(0, w - cw)
+                top = rng.randint(0, h - ch)
+                left = rng.randint(0, w - cw)
                 return top, left, ch, cw
         return 0, 0, h, w
 
@@ -156,7 +166,12 @@ class TalkingFaceVideoDataset:
             max(int(cx - bw / 2), 0) : int(cx + bw / 2) + 1] = 1.0
         return face, lip
 
-    def get_sample(self, index: int) -> Optional[Dict[str, np.ndarray]]:
+    def get_sample(self, index: int, rng: Optional[random.Random] = None) -> Optional[Dict[str, np.ndarray]]:
+        """Load + augment one sample. When `rng` is given, the sample is a pure
+        function of (dataset seed, rng state) — used by `batches` to make
+        epochs reproducible regardless of worker-thread scheduling (the
+        reference relies on torch DataLoader worker seeding)."""
+        rng = rng if rng is not None else self.rng
         info = self.videos_info[index % len(self.videos_info)]
         from ..pipelines.media import read_video_rgb
 
@@ -169,7 +184,7 @@ class TalkingFaceVideoDataset:
             return None
 
         clip_len = min(video_len, (self.num_frames - 1) * self.sample_rate + 1)
-        start = self.rng.randint(0, video_len - clip_len)
+        start = rng.randint(0, video_len - clip_len)
         batch_ids = np.linspace(start, start + clip_len - 1, self.num_frames).astype(int).tolist()
 
         left_max = min(batch_ids) - self.reference_margin - 1
@@ -177,11 +192,11 @@ class TalkingFaceVideoDataset:
         candidates = [i for i in range(video_len) if i <= left_max or i >= right_min]
         if not candidates:
             return None
-        ref_idx = self.rng.choice(candidates)
+        ref_idx = rng.choice(candidates)
 
         hh, ww = frames.shape[1:3]
-        crop = self._crop_params(hh, ww)
-        do_flip = self.rng.random() < self.flip_rate
+        crop = self._crop_params(hh, ww, rng)
+        do_flip = rng.random() < self.flip_rate
         out_size = self.image_size
         latent = (out_size[0] // self.vae_scale_rate, out_size[1] // self.vae_scale_rate)
 
@@ -221,23 +236,86 @@ class TalkingFaceVideoDataset:
 
     # ------------------------------------------------------------ batching
 
-    def batches(self, batch_size: int, num_workers: int = 4, prefetch: int = 4) -> Iterator[Dict]:
-        """Infinite shuffled batch iterator with background workers."""
+    def batches(
+        self,
+        batch_size: int,
+        num_workers: int = 4,
+        prefetch: int = 4,
+        shard_id: Optional[int] = None,
+        num_shards: Optional[int] = None,
+    ) -> Iterator[Dict]:
+        """Infinite batch iterator over seeded shuffle epochs.
+
+        Deterministic and multi-host ready (reference: seeded torch DataLoader
+        shuffle + DistributedSampler under accelerate):
+          * each epoch is a fresh permutation seeded by (dataset seed, epoch);
+          * each host consumes the strided slice perm[shard_id::num_shards]
+            (defaults from jax.process_index/process_count under
+            jax.distributed);
+          * each sample's augmentation RNG is seeded by (seed, epoch, index),
+            so results do not depend on worker-thread scheduling.
+        Bad samples are skipped (reference retry loop,
+        talking_face_video.py:187-224).
+        """
+        if num_shards is None:
+            try:
+                import jax
+
+                num_shards = jax.process_count()
+                shard_id = jax.process_index()
+            except Exception:
+                num_shards, shard_id = 1, 0
+        shard_id = shard_id or 0
+
         q: "queue.Queue" = queue.Queue(maxsize=prefetch * batch_size)
+        idx_q: "queue.Queue" = queue.Queue(maxsize=4 * max(num_workers, 1))
         stop = threading.Event()
 
+        def feeder():
+            try:
+                epoch = 0
+                while not stop.is_set():
+                    rng = random.Random(_mix_seed(self.seed, epoch))
+                    perm = list(range(len(self.videos_info)))
+                    rng.shuffle(perm)
+                    for idx in perm[shard_id::num_shards]:
+                        while not stop.is_set():
+                            try:
+                                idx_q.put((epoch, idx), timeout=0.5)
+                                break
+                            except queue.Full:
+                                continue
+                        if stop.is_set():
+                            return
+                    epoch += 1
+            except Exception as e:  # a dead feeder starves every worker
+                import sys
+
+                print(f"[vexpress] dataset feeder died: {e!r}", file=sys.stderr, flush=True)
+                stop.set()
+
         def worker(wid: int):
-            rng = random.Random(hash((wid, id(self))) & 0xFFFFFFFF)
             while not stop.is_set():
-                idx = rng.randrange(len(self.videos_info))
                 try:
-                    sample = self.get_sample(idx)
+                    epoch, idx = idx_q.get(timeout=0.5)
+                except queue.Empty:
+                    continue
+                rng = random.Random(_mix_seed(self.seed, epoch, idx))
+                try:
+                    sample = self.get_sample(idx, rng)
                 except Exception:
                     continue
-                if sample is not None:
-                    q.put(sample)
+                if sample is None:
+                    continue
+                while not stop.is_set():
+                    try:
+                        q.put(sample, timeout=0.5)
+                        break
+                    except queue.Full:
+                        continue
 
-        threads = [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(num_workers)]
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(num_workers)]
         for t in threads:
             t.start()
         try:

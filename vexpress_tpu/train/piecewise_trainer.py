@@ -198,5 +198,9 @@ class PiecewiseTrainer:
                 return optax.apply_updates(params, updates), opt_state, step + 1
 
             self._jits["update"] = jax.jit(upd, donate_argnums=(0, 1))
-        params, opt_state, step_c = self._jits["update"](state.params, state.opt_state, grads, state.step)
+        from ..utils.runtime import with_compile_retries
+
+        params, opt_state, step_c = with_compile_retries(
+            self._jits["update"], state.params, state.opt_state, grads, state.step,
+            label="optimizer update")
         return TrainState(params, opt_state, step_c), {"loss": loss}

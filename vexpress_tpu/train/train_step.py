@@ -72,6 +72,12 @@ class TrainConfig:
                             train_denoising_unet=False, train_reference_net=False,
                             train_v_kps_guider=False, train_audio_projection=True,
                             train_motion_module=True),
+            # stage_2 restarted from a mid-stage checkpoint: identical
+            # trainability, but stage_zero_init is skipped (train.py:380-381)
+            "stage_2_resume": dict(train_stage="stage_2_resume", num_frames=20,
+                                   train_denoising_unet=False, train_reference_net=False,
+                                   train_v_kps_guider=False, train_audio_projection=True,
+                                   train_motion_module=True),
             "stage_3": dict(train_stage="stage_3", num_frames=8,
                             train_denoising_unet=True, train_reference_net=True,
                             train_v_kps_guider=True, train_audio_projection=True,
@@ -89,6 +95,37 @@ class TrainState:
 
 def _path_str(path) -> str:
     return "/".join(getattr(p, "key", str(p)) for p in path)
+
+
+def stage_zero_init(params: Dict[str, Any], train_stage: str) -> Dict[str, Any]:
+    """Stage-start zero-init of the denoising UNet's audio-attention output
+    (`attn2.to_out`) and motion-module output (`temporal_transformer.proj_out`)
+    projections (/root/reference/train.py:363-390). Applied at stages 1/2/3 so
+    training from SD-lineage checkpoints starts with the audio and motion
+    branches as exact no-ops; `stage_2_resume` skips it (train.py:380-381)
+    because those weights come from the mid-stage checkpoint being resumed.
+
+    Returns a new params dict; only the "denoising_unet" subtree is touched.
+    """
+    if train_stage == "stage_2_resume":
+        return params
+    if train_stage not in ("stage_1", "stage_2", "stage_3"):
+        raise NotImplementedError(f"{train_stage} not implemented")
+
+    def zero(path, leaf):
+        parts = tuple(getattr(p, "key", str(p)) for p in path)
+        for i in range(1, len(parts)):
+            # torch 'attn2.to_out.0' <-> flax attn2/to_out_0;
+            # torch 'temporal_transformer.proj_out' <-> flax same adjacency
+            if parts[i] == "to_out_0" and parts[i - 1] == "attn2":
+                return jnp.zeros_like(leaf)
+            if parts[i] == "proj_out" and parts[i - 1] == "temporal_transformer":
+                return jnp.zeros_like(leaf)
+        return leaf
+
+    out = dict(params)
+    out["denoising_unet"] = jax.tree_util.tree_map_with_path(zero, params["denoising_unet"])
+    return out
 
 
 def trainable_mask(params: Dict[str, Any], cfg: TrainConfig) -> Dict[str, Any]:
