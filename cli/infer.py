@@ -73,6 +73,10 @@ def parse_args():
                    help="capture a jax.profiler device trace of the denoise loop "
                         "into this directory (view with xprof/TensorBoard)")
     p.add_argument("--no_median_filter", action="store_true")
+    p.add_argument("--save_gpu_memory", action="store_true",
+                   help="keep the O(video_length) kps conditioning on host and "
+                        "ship one window group at a time (long videos; the "
+                        "reference's --save_gpu_memory)")
     return p.parse_args()
 
 
@@ -215,6 +219,7 @@ def main():
             seed=args.seed,
             window_group=args.window_group,
             mode=mode,
+            save_memory=args.save_gpu_memory,
             mesh=create_mesh() if mode == "sharded" else None,
             progress_callback=progress,
         )

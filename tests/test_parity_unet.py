@@ -104,6 +104,35 @@ def test_denoising_unet_3d_parity():
     assert_close(out, ref_np, atol=2e-4, rtol=2e-4)
 
 
+def test_zero_uncond_kv_shortcut_exact():
+    """The CFG fast path (skip the uncond half of attn1_5/attn2, whose KV are
+    all-zero) must match the full computation exactly: zero KV means uniform
+    softmax times zero values, so the attention output is to_out's bias."""
+    B, F, H, W = 2, 3, 16, 16  # B = CFG pair [uncond; cond]
+    m = DenoisingUNet3D(TINY_CFG)
+    key = jax.random.PRNGKey(7)
+    shapes = TINY_CFG.ref_feature_shapes(H, W)
+
+    lat = jax.random.normal(key, (1, F, H, W, 4))
+    lat = jnp.concatenate([lat, lat], axis=0)
+    aud = jax.random.normal(jax.random.PRNGKey(1), (1, F, 5, 12))
+    aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
+    kps = jax.random.normal(jax.random.PRNGKey(2), (1, F, H, W, 8))
+    kps = jnp.concatenate([jnp.zeros_like(kps), kps], axis=0)
+    refs = tuple(
+        jnp.concatenate([jnp.zeros((1, l, c)), jax.random.normal(jax.random.PRNGKey(3 + i), (1, l, c))])
+        for i, (l, c) in enumerate(shapes)
+    )
+    t = jnp.asarray([17, 17])
+
+    params = m.init(jax.random.PRNGKey(0), lat, t, aud, refs, kps, 0.9, 2.0)
+    full = m.apply(params, lat, t, aud, refs, kps, 0.9, 2.0, zero_uncond_kv=False)
+    fast = m.apply(params, lat, t, aud, refs, kps, 0.9, 2.0, zero_uncond_kv=True)
+    # same math; tolerance covers XLA fusion/reassociation noise between the
+    # two traces (observed max ~2e-6 in fp32)
+    assert_close(fast, full, atol=1e-5, rtol=1e-5)
+
+
 def test_ref_feature_shapes_match_reference_net_banks():
     o = OUNet(TINY, temporal=False).eval()
     B, H, W = 1, 16, 16

@@ -118,6 +118,26 @@ def test_streamed_matches_fused(tiny_pipeline):
     np.testing.assert_allclose(lat_streamed, lat_fused, atol=1e-5, rtol=1e-5)
 
 
+def test_save_memory_matches_streamed(tiny_pipeline):
+    """Host-resident kps conditioning (--save_gpu_memory analog) is exact:
+    gathering window groups on host then shipping equals device-side gather."""
+    rng = np.random.default_rng(7)
+    H = W = 64
+    L = 12
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(6400,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, window_group=2,
+        return_latents=True,
+    )
+    lat_normal = tiny_pipeline(mode="streamed", **kwargs)
+    lat_host = tiny_pipeline(mode="streamed", save_memory=True, **kwargs)
+    np.testing.assert_allclose(lat_host, lat_normal, atol=1e-5, rtol=1e-5)
+
+
 def test_shape_bucketing_conditioning(tiny_pipeline):
     """Bucketed conditioning (SURVEY §7 static shapes): chunked kps features
     are exact; bucketed audio equals the unbucketed path when the waveform

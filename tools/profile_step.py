@@ -21,6 +21,8 @@ def main():
     ap.add_argument("--height", type=int, default=512)
     ap.add_argument("--frames", type=int, default=24)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--cfg_fast", type=int, default=1,
+                    help="use the zero-uncond-KV CFG fast path (production default)")
     args = ap.parse_args()
 
     import jax
@@ -53,10 +55,11 @@ def main():
     params = pipe.params["denoising_unet"]
 
     runner = PiecewiseUNetRunner(cfg, dtype=jnp.bfloat16)
+    zk = bool(args.cfg_fast)
 
     # warm up the whole chain (compiles)
     t0 = time.time()
-    out = runner.unet3d(params, sample, t, audio, refs, kps, 0.95, 3.0)
+    out = runner.unet3d(params, sample, t, audio, refs, kps, 0.95, 3.0, zero_uncond_kv=zk)
     np.asarray(out)
     print(f"compile+first run {time.time() - t0:.1f}s", flush=True)
 
@@ -67,14 +70,15 @@ def main():
     times = []
     for _ in range(args.reps):
         t0 = time.time()
-        out = runner.unet3d(params, sample, t, audio, refs, kps, 0.95, 3.0)
+        out = runner.unet3d(params, sample, t, audio, refs, kps, 0.95, 3.0, zero_uncond_kv=zk)
         np.asarray(out)
         times.append(time.time() - t0)
-    print(f"full piecewise UNet forward: {min(times):.3f}s best of {args.reps}", flush=True)
+    print(f"full piecewise UNet forward: {min(times):.3f}s best of {args.reps} "
+          f"(cfg_fast={zk})", flush=True)
 
     # per-stage timings (each stage synced via device_get of its output's sum)
     stage_times = runner.timed_stages(params, sample, t, audio, refs, kps, 0.95, 3.0,
-                                      reps=args.reps)
+                                      reps=args.reps, zero_uncond_kv=zk)
     total = sum(stage_times.values())
     print(f"\n{'stage':<18} {'ms':>8} {'share':>7}")
     for name, ts in stage_times.items():

@@ -139,13 +139,14 @@ class TemporalBasicTransformerBlock(nn.Module):
         ref_kv: jax.Array,
         ref_scale: jax.Array,
         audio_scale: jax.Array,
+        zero_uncond_kv: bool = False,
     ) -> jax.Array:
         attn = lambda name: Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name=name)
         norm = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
         x = x + attn("attn1")(norm("norm1")(x))
-        x = x + ref_scale * attn("attn1_5")(norm("norm1_5")(x), ref_kv)
-        x = x + audio_scale * attn("attn2")(norm("norm2")(x), audio_kv)
+        x = x + ref_scale * attn("attn1_5")(norm("norm1_5")(x), ref_kv, zero_kv_first_half=zero_uncond_kv)
+        x = x + audio_scale * attn("attn2")(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(norm("norm3")(x))
         return x
 
@@ -175,6 +176,7 @@ class SpatialTransformer(nn.Module):
         ref_kv: Optional[Tuple[jax.Array, ...]] = None,
         ref_scale: Optional[jax.Array] = None,
         audio_scale: Optional[jax.Array] = None,
+        zero_uncond_kv: bool = False,
     ):
         n, h, w, c = x.shape
         dim_head = self.in_channels // self.heads
@@ -189,7 +191,7 @@ class SpatialTransformer(nn.Module):
             if self.temporal:
                 hs = TemporalBasicTransformerBlock(
                     self.in_channels, self.heads, dim_head, dtype=self.dtype, name=f"transformer_blocks_{i}"
-                )(hs, encoder_hidden_states, ref_kv[i], ref_scale, audio_scale)
+                )(hs, encoder_hidden_states, ref_kv[i], ref_scale, audio_scale, zero_uncond_kv)
             else:
                 hs, bank = BasicTransformerBlock(
                     self.in_channels, self.heads, dim_head, dtype=self.dtype, name=f"transformer_blocks_{i}"

@@ -112,20 +112,21 @@ class PiecewiseUNetRunner:
         return out
 
     def timed_stages(self, params, sample, timesteps, audio_tokens, ref_features,
-                     kps_features, ref_scale, audio_scale, reps: int = 5):
+                     kps_features, ref_scale, audio_scale, reps: int = 5,
+                     zero_uncond_kv: bool = False):
         """Average per-stage seconds of the 3D UNet forward. Syncs after every
         stage, so numbers attribute time to stages (the unsynced full chain
         overlaps dispatch and runs slightly faster)."""
         # make sure stage + sync programs are compiled before measuring
         self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
-                    kps_features, ref_scale, audio_scale)
+                    kps_features, ref_scale, audio_scale, zero_uncond_kv)
         self._record = {}
         self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
-                    kps_features, ref_scale, audio_scale)
+                    kps_features, ref_scale, audio_scale, zero_uncond_kv)
         self._record = {}
         for _ in range(reps):
             self.unet3d(params, sample, timesteps, audio_tokens, ref_features,
-                        kps_features, ref_scale, audio_scale)
+                        kps_features, ref_scale, audio_scale, zero_uncond_kv)
         rec = {k: v / reps for k, v in self._record.items()}
         self._record = None
         return rec
@@ -162,7 +163,7 @@ class PiecewiseUNetRunner:
     # -- full forwards -------------------------------------------------------
 
     def unet3d(self, params, sample, timesteps, audio_tokens, ref_features,
-               kps_features, ref_scale, audio_scale):
+               kps_features, ref_scale, audio_scale, zero_uncond_kv=False):
         """Piecewise equivalent of DenoisingUNet3D.__call__ (same params)."""
         cfg = self.cfg
         dt = self.dtype
@@ -196,9 +197,10 @@ class PiecewiseUNetRunner:
             cursor += n_in
 
             def down_fn(p, x_, temb_, ctx_, refs_, scales_, block=block):
-                return block.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+                return block.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f,
+                                   zero_uncond_kv)
 
-            fn = self._jit(("down3d", i, b, f, x.shape), down_fn)
+            fn = self._jit(("down3d", i, b, f, x.shape, zero_uncond_kv), down_fn)
             x, states = self._run(f"down_{i}", fn, _sub(params, f"down_blocks_{i}"), x, temb, ctx, block_refs, scales)
             skips.extend(states)
 
@@ -212,9 +214,10 @@ class PiecewiseUNetRunner:
         cursor += 1
 
         def mid_fn(p, x_, temb_, ctx_, refs_, scales_):
-            return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+            return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f,
+                             zero_uncond_kv)
 
-        x = self._run("mid", self._jit(("mid3d", b, f, x.shape), mid_fn),
+        x = self._run("mid", self._jit(("mid3d", b, f, x.shape, zero_uncond_kv), mid_fn),
                       _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
 
         rev = list(reversed(ch))
@@ -231,9 +234,10 @@ class PiecewiseUNetRunner:
             cursor += n_in
 
             def up_fn(p, x_, skips_, temb_, ctx_, refs_, scales_, block=block):
-                return block.apply(p, x_, list(skips_), temb_, ctx_, RefFeatures(list(refs_)), scales_, f)
+                return block.apply(p, x_, list(skips_), temb_, ctx_, RefFeatures(list(refs_)),
+                                   scales_, f, zero_uncond_kv)
 
-            fn = self._jit(("up3d", i, b, f, x.shape), up_fn)
+            fn = self._jit(("up3d", i, b, f, x.shape, zero_uncond_kv), up_fn)
             x = self._run(f"up_{i}", fn, _sub(params, f"up_blocks_{i}"), x, block_skips, temb, ctx, block_refs, scales)
 
         out_fn = self._jit(("conv_out3d", x.shape), lambda p, x_: _ConvOut(

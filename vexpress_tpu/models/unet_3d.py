@@ -91,8 +91,16 @@ class DenoisingUNet3D(nn.Module):
         kps_features: Optional[jax.Array] = None,  # (B, F, H, W, block0_ch)
         ref_scale: float | jax.Array = 1.0,
         audio_scale: float | jax.Array = 1.0,
+        zero_uncond_kv: bool = False,  # CFG batches [uncond; cond] with zero
+        # uncond banks/audio: skip the uncond half of attn1_5/attn2 (exact)
     ) -> jax.Array:
         cfg = self.config
+        if len(ref_features) != cfg.num_ref_features:
+            raise ValueError(
+                f"DenoisingUNet3D needs config.num_ref_features={cfg.num_ref_features} "
+                f"reference features in down->mid->up order but got {len(ref_features)}; "
+                f"see UNetConfig.ref_feature_shapes for the expected shapes."
+            )
         b, f, h, w, _ = sample.shape
         ch = cfg.block_out_channels
         heads = cfg.attention_head_dim
@@ -114,9 +122,9 @@ class DenoisingUNet3D(nn.Module):
 
         DB, MB, UB = DownBlock, MidBlock, UpBlock
         if cfg.gradient_checkpointing:
-            DB = nn.remat(DownBlock, static_argnums=(6,))
-            MB = nn.remat(MidBlock, static_argnums=(6,))
-            UB = nn.remat(UpBlock, static_argnums=(7,))
+            DB = nn.remat(DownBlock, static_argnums=(6, 7))
+            MB = nn.remat(MidBlock, static_argnums=(6, 7))
+            UB = nn.remat(UpBlock, static_argnums=(7, 8))
 
         mkw = dict(
             use_motion=cfg.use_motion_module,
@@ -153,7 +161,7 @@ class DenoisingUNet3D(nn.Module):
                 add_downsample=not is_final,
                 **{**common, **mkw},
                 name=f"down_blocks_{i}",
-            )(x, temb, ctx, block_refs, scales, f)
+            )(x, temb, ctx, block_refs, scales, f, zero_uncond_kv)
             skips.extend(states)
 
         # mid
@@ -170,7 +178,7 @@ class DenoisingUNet3D(nn.Module):
             groups=cfg.norm_num_groups,
             dtype=dt,
             name="mid_block",
-        )(x, temb, ctx, ref_tuple[cursor : cursor + 1], scales, f)
+        )(x, temb, ctx, ref_tuple[cursor : cursor + 1], scales, f, zero_uncond_kv)
         cursor += 1
 
         # up: types (Up, CrossAttn, CrossAttn, CrossAttn), channels reversed
@@ -189,7 +197,7 @@ class DenoisingUNet3D(nn.Module):
                 add_upsample=not is_final,
                 **{**up_common, **mkw},
                 name=f"up_blocks_{i}",
-            )(x, list(use), temb, ctx, block_refs, scales, f)
+            )(x, list(use), temb, ctx, block_refs, scales, f, zero_uncond_kv)
 
         # out
         x = group_norm(cfg.norm_num_groups, cfg.norm_eps, "conv_norm_out", dt)(x)

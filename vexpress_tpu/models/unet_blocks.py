@@ -64,7 +64,8 @@ class DownBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, ctx, refs: Optional[RefFeatures], scales, frames: int):
+    def __call__(self, x, temb, ctx, refs: Optional[RefFeatures], scales, frames: int,
+                 zero_uncond_kv: bool = False):
         output_states = []
         for i in range(self.num_layers):
             x = ResnetBlock(self.out_channels, self.eps, self.groups, dtype=self.dtype, name=f"resnets_{i}")(x, temb)
@@ -82,7 +83,7 @@ class DownBlock(nn.Module):
                     # per-block tuple indexed by layer (jittable pytree, used
                     # by the remat-able monolithic path)
                     ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                    x = st(x, ctx, (ref_i,), scales[0], scales[1])
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)
@@ -119,7 +120,8 @@ class MidBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, temb, ctx, refs: Optional[RefFeatures], scales, frames: int):
+    def __call__(self, x, temb, ctx, refs: Optional[RefFeatures], scales, frames: int,
+                 zero_uncond_kv: bool = False):
         x = ResnetBlock(self.in_channels, self.eps, self.groups, dtype=self.dtype, name="resnets_0")(x, temb)
         for i in range(self.num_layers):
             st = SpatialTransformer(
@@ -132,7 +134,7 @@ class MidBlock(nn.Module):
             )
             if self.temporal:
                 ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                x = st(x, ctx, (ref_i,), scales[0], scales[1])
+                x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
             else:
                 x, banks = st(x, ctx)
                 refs.push(banks)
@@ -179,6 +181,7 @@ class UpBlock(nn.Module):
         refs: Optional[RefFeatures],
         scales,
         frames: int,
+        zero_uncond_kv: bool = False,
     ):
         for i in range(self.num_layers):
             skip = skips.pop()
@@ -195,7 +198,7 @@ class UpBlock(nn.Module):
                 )
                 if self.temporal:
                     ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                    x = st(x, ctx, (ref_i,), scales[0], scales[1])
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)

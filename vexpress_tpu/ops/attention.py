@@ -59,6 +59,22 @@ def _attend(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def _attend_short(q, k, v, scale):
+    """Same math as `_attend` for short sequences (temporal motion attention:
+    Lq = Lk = frames <= 32, huge batch). Folding heads into the batch axis
+    before the tiny (L, D) x (D, L) matmuls measures ~25% faster on v5e than
+    the bhqk einsum layout (tools/microbench_ops.py)."""
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    qh = q.transpose(0, 2, 1, 3).reshape(b * h, lq, d)
+    kh = k.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    vh = v.transpose(0, 2, 1, 3).reshape(b * h, lk, d)
+    logits = jnp.einsum("bqd,bkd->bqk", qh, kh, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(logits.astype(jnp.float32) * scale, axis=-1).astype(v.dtype)
+    out = jnp.einsum("bqk,bkd->bqd", weights, vh)
+    return out.reshape(b, h, lq, d).transpose(0, 2, 1, 3)
+
+
 def sdpa(
     q: jax.Array,
     k: jax.Array,
@@ -101,7 +117,8 @@ def sdpa(
             q_chunk = lq
 
     if q_chunk >= lq:
-        out = _attend(q, k, v, scale)
+        attend = _attend_short if (lq <= 64 and lk <= 64) else _attend
+        out = attend(q, k, v, scale)
         return out.reshape(b, lq, inner)
 
     n_chunks = -(-lq // q_chunk)
@@ -134,23 +151,45 @@ class Attention(nn.Module):
         self,
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
+        zero_kv_first_half: bool = False,
     ) -> jax.Array:
         kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.heads * self.dim_head
         dense = functools.partial(nn.Dense, dtype=self.dtype, param_dtype=jnp.float32)
-        q = dense(inner, use_bias=self.qkv_bias, name="to_q")(hidden_states)
-        k = dense(inner, use_bias=self.qkv_bias, name="to_k")(kv)
-        v = dense(inner, use_bias=self.qkv_bias, name="to_v")(kv)
-        if k.shape[0] != q.shape[0]:
-            # KV shared across a folded query axis (e.g. reference KV shared by
-            # all frames of a video): group the queries instead of materializing
-            # KV copies. Exact — softmax normalizes over the KV length only.
-            bq, lq, _ = q.shape
-            bkv = k.shape[0]
-            assert bq % bkv == 0, f"query batch {bq} not a multiple of kv batch {bkv}"
-            g = bq // bkv
-            out = sdpa(q.reshape(bkv, g * lq, inner), k, v, self.heads)
-            out = out.reshape(bq, lq, inner)
-        else:
-            out = sdpa(q, k, v, self.heads)
-        return dense(self.query_dim, use_bias=self.out_bias, name="to_out_0")(out)
+        to_q = dense(inner, use_bias=self.qkv_bias, name="to_q")
+        to_k = dense(inner, use_bias=self.qkv_bias, name="to_k")
+        to_v = dense(inner, use_bias=self.qkv_bias, name="to_v")
+        to_out = dense(self.query_dim, use_bias=self.out_bias, name="to_out_0")
+
+        def attend(hs, kv_):
+            q, k, v = to_q(hs), to_k(kv_), to_v(kv_)
+            if k.shape[0] != q.shape[0]:
+                # KV shared across a folded query axis (e.g. reference KV
+                # shared by all frames of a video): group the queries instead
+                # of materializing KV copies. Exact — softmax normalizes over
+                # the KV length only.
+                bq, lq, _ = q.shape
+                bkv = k.shape[0]
+                assert bq % bkv == 0, f"query batch {bq} not a multiple of kv batch {bkv}"
+                g = bq // bkv
+                out = sdpa(q.reshape(bkv, g * lq, inner), k, v, self.heads)
+                return out.reshape(bq, lq, inner)
+            return sdpa(q, k, v, self.heads)
+
+        if zero_kv_first_half:
+            # CFG fast path (classifier-free guidance batches [uncond; cond]):
+            # the unconditional half's KV inputs are all-zero (zero reference
+            # banks / zero audio tokens, pipeline.py CFG concat). With
+            # bias-free to_k/to_v, K = V = 0 exactly: softmax over zero logits
+            # is uniform, its product with V = 0 is zero, so the module output
+            # for that half is just to_out's bias — skip its projections and
+            # attention entirely. Bit-identical to the full computation.
+            assert not self.qkv_bias, "zero-KV shortcut requires bias-free to_k/to_v"
+            bq, bkv = hidden_states.shape[0], kv.shape[0]
+            assert bq % 2 == 0 and bkv % 2 == 0, (bq, bkv)
+            out_c = to_out(attend(hidden_states[bq // 2 :], kv[bkv // 2 :]))
+            bias_row = to_out(jnp.zeros((1, 1, inner), out_c.dtype))
+            out_u = jnp.broadcast_to(bias_row, out_c.shape)
+            return jnp.concatenate([out_u, out_c], axis=0)
+
+        return to_out(attend(hidden_states, kv))

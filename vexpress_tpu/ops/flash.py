@@ -51,10 +51,12 @@ def flash_sdpa(
         pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
 
+    # block sizes tuned on v5e at SD 512x512 shapes (tools/microbench_ops.py):
+    # bq=2048/bk=1024 is ~9% faster than 512/512 and ~2.3x faster than 256/256
     block = BlockSizes(
-        block_q=min(512, lq),
-        block_k_major=min(512, lk),
-        block_k=min(512, lk),
+        block_q=min(2048, lq),
+        block_k_major=min(1024, lk),
+        block_k=min(1024, lk),
         block_b=1,
         block_q_major_dkv=min(512, lq),
         block_k_major_dkv=min(512, lk),

@@ -280,7 +280,7 @@ class VExpressPipeline:
     # ---------------------------------------------------------- denoise step
 
     def _build_group_programs(self, num_inference_steps: int, guidance_scale: float,
-                              window_group: int, win_size: int):
+                              window_group: int, win_size: int, pregathered: bool = False):
         """Streamed mode: two small reusable programs instead of one fused
         per-video-length step.
 
@@ -290,6 +290,11 @@ class VExpressPipeline:
         programs serve every group, timestep and video length — essential
         here because the axon remote-compile service handles only
         moderately-sized programs (and first compiles are minutes-long).
+
+        `pregathered`: kps_feat arrives already gathered to (g, win, ...) —
+        the save_memory path keeps the full-video kps features on HOST (the
+        reference's --save_gpu_memory analog, v_express_pipeline.py:473-483)
+        and ships only the current window group to the device.
         """
         do_cfg = guidance_scale > 1.0
         unet = self.denoising_unet
@@ -300,7 +305,7 @@ class VExpressPipeline:
         def group_step(acc, latents, t, w_idx, w_weights, kps_feat, audio_tok, ref_feats,
                        ref_scale, audio_scale):
             lat = latents[w_idx].astype(dt)
-            kps = kps_feat[w_idx].astype(dt)
+            kps = (kps_feat if pregathered else kps_feat[w_idx]).astype(dt)
             aud = audio_tok[w_idx].astype(dt)
             if do_cfg:
                 lat = jnp.concatenate([lat, lat], axis=0)
@@ -308,7 +313,7 @@ class VExpressPipeline:
                 aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
             pred = unet.apply(
                 unet_params, lat, jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats,
-                kps, ref_scale, audio_scale,
+                kps, ref_scale, audio_scale, zero_uncond_kv=do_cfg,
             )
             if do_cfg:
                 uncond, cond_p = jnp.split(pred, 2, axis=0)
@@ -322,7 +327,8 @@ class VExpressPipeline:
 
         return group_step, ddim
 
-    def _build_piecewise_programs(self, num_inference_steps: int, guidance_scale: float):
+    def _build_piecewise_programs(self, num_inference_steps: int, guidance_scale: float,
+                                  pregathered: bool = False):
         """Piecewise-streamed mode: gather/CFG and scatter/DDIM are tiny jits;
         the UNet itself runs per-block via PiecewiseUNetRunner (the axon
         remote-compile service cannot build monolithic SD-scale programs)."""
@@ -335,7 +341,7 @@ class VExpressPipeline:
         @jax.jit
         def gather(latents, w_idx, kps_feat, audio_tok):
             lat = latents[w_idx].astype(dt)
-            kps = kps_feat[w_idx].astype(dt)
+            kps = (kps_feat if pregathered else kps_feat[w_idx]).astype(dt)
             aud = audio_tok[w_idx].astype(dt)
             if do_cfg:
                 lat = jnp.concatenate([lat, lat], axis=0)
@@ -361,7 +367,7 @@ class VExpressPipeline:
             pred = runner.unet3d(
                 self.params["denoising_unet"], lat,
                 jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats, kps,
-                ref_scale, audio_scale,
+                ref_scale, audio_scale, zero_uncond_kv=do_cfg,
             )
             return combine_scatter(acc, pred, w_idx, w_weights)
 
@@ -370,7 +376,7 @@ class VExpressPipeline:
     def _denoise_streamed(self, latents, timesteps, windows, inv_counts, kps_feat,
                           audio_tok, ref_feats, ref_scale, audio_scale,
                           num_inference_steps, guidance_scale, window_group,
-                          progress_callback=None, piecewise=False):
+                          progress_callback=None, piecewise=False, save_memory=False):
         n_windows, win_size = windows.shape
         g = min(window_group, n_windows)
         n_groups = -(-n_windows // g)
@@ -381,17 +387,26 @@ class VExpressPipeline:
         win_idx = win_idx.reshape(n_groups, g, win_size).astype(np.int32)
 
         cache_key = ("piecewise" if piecewise else "group",
-                     num_inference_steps, float(guidance_scale), g, win_size)
+                     num_inference_steps, float(guidance_scale), g, win_size, save_memory)
         if cache_key not in self._step_cache:
             if piecewise:
                 self._step_cache[cache_key] = self._build_piecewise_programs(
-                    num_inference_steps, guidance_scale
+                    num_inference_steps, guidance_scale, pregathered=save_memory
                 )
             else:
                 self._step_cache[cache_key] = self._build_group_programs(
-                    num_inference_steps, guidance_scale, g, win_size
+                    num_inference_steps, guidance_scale, g, win_size,
+                    pregathered=save_memory
                 )
         group_step, ddim = self._step_cache[cache_key]
+
+        if save_memory:
+            # the reference's --save_gpu_memory analog: the O(video_length)
+            # kps features (the dominant conditioning tensor: ~2.6 MB/frame at
+            # 512x512 bf16) live on HOST; only the current window group is
+            # shipped to the device each step
+            kps_host = np.asarray(kps_feat)
+            kps_feat = None
 
         idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
         w_dev = [jnp.asarray(win_w[i]) for i in range(n_groups)]
@@ -399,8 +414,9 @@ class VExpressPipeline:
             tt = jnp.asarray(int(t))
             acc = jnp.zeros_like(latents, dtype=jnp.float32)
             for gi in range(n_groups):
+                kps_arg = jnp.asarray(kps_host[win_idx[gi]]) if save_memory else kps_feat
                 acc = with_compile_retries(
-                    group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_feat,
+                    group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_arg,
                     audio_tok, ref_feats, ref_scale, audio_scale, label="group step")
             latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
             if progress_callback is not None:
@@ -428,7 +444,7 @@ class VExpressPipeline:
                 aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
             pred = unet.apply(
                 unet_params, lat, jnp.broadcast_to(t, (lat.shape[0],)), aud, ref_feats,
-                kps, ref_scale, audio_scale,
+                kps, ref_scale, audio_scale, zero_uncond_kv=do_cfg,
             )
             if do_cfg:
                 uncond, cond_p = jnp.split(pred, 2, axis=0)
@@ -505,6 +521,7 @@ class VExpressPipeline:
         mode: str = "streamed",
         piecewise: Optional[bool] = None,
         shape_bucketing: Optional[bool] = None,
+        save_memory: bool = False,
         mesh=None,
         return_latents: bool = False,
         progress_callback=None,
@@ -565,11 +582,13 @@ class VExpressPipeline:
         audio_scale = jnp.asarray(audio_attention_weight, dt)
         timesteps = self.scheduler.timesteps(num_inference_steps)
 
+        if save_memory and mode != "streamed":
+            raise ValueError("save_memory requires mode='streamed'")
         if mode == "streamed":
             latents = self._denoise_streamed(
                 latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
                 ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
-                progress_callback, piecewise=piecewise,
+                progress_callback, piecewise=piecewise, save_memory=save_memory,
             )
         elif mode == "fused":
             cache_key = (video_length, context_frames, context_overlap, num_inference_steps,

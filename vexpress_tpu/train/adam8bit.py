@@ -1,0 +1,173 @@
+"""Blockwise 8-bit AdamW — TPU-native analog of bitsandbytes' AdamW8bit.
+
+The reference trains with `bitsandbytes.optim.AdamW8bit` when
+`solver.use_8bit_adam` is set (/root/reference/train.py:464-472). bnb stores
+both Adam momenta as int8 with per-block (256-element) scales and a nonlinear
+"dynamic" code map. This implementation keeps the same memory footprint
+(1 byte/element + 1 fp32 scale per 256 elements, ~9x smaller than fp32 state)
+with a TPU-friendly scheme:
+
+  * first moment m: signed mu-law companded int8 with per-block absmax scale —
+    an ANALYTIC nonlinear map (y = log1p(mu|x|)/log1p(mu)) with the same
+    near-constant relative precision as bnb's dynamic map (~2% across 2+
+    decades) but invertible in closed form, so quantize/dequantize are pure
+    VPU elementwise ops instead of a 256-entry codebook search.
+  * second moment v: mu-law in the sqrt domain (sqrt halves the exponent
+    range), giving ~2% relative error on the Adam denominator sqrt(v_hat).
+
+Everything is elementwise + per-block reductions, fused by XLA into the
+update; no HBM-resident fp32 momenta ever exist. Small leaves
+(< min_quant_size elements) stay fp32, mirroring bnb's min_8bit_size.
+
+Drop-in optax GradientTransformation: composes with clip/masked/MultiSteps.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class _QTensor(NamedTuple):
+    """A quantized moment: int8 codes + per-block fp32 scales + static shape."""
+
+    codes: jax.Array  # int8, (nblocks, block)
+    scales: jax.Array  # fp32, (nblocks, 1)
+
+
+_MU = 255.0  # mu-law companding constant (255 = telephony standard)
+_LOG1P_MU = 5.545177444479562  # log(1 + _MU)
+
+
+def _pad_len(n: int, block: int) -> int:
+    return (-n) % block
+
+
+def _compand(xn: jax.Array) -> jax.Array:
+    """mu-law: [-1,1] -> [-1,1], log-spaced resolution near zero."""
+    return jnp.sign(xn) * jnp.log1p(_MU * jnp.abs(xn)) / _LOG1P_MU
+
+
+def _expand(y: jax.Array) -> jax.Array:
+    return jnp.sign(y) * jnp.expm1(jnp.abs(y) * _LOG1P_MU) / _MU
+
+
+def _quantize_signed(x: jax.Array, block: int) -> _QTensor:
+    flat = x.reshape(-1)
+    pad = _pad_len(flat.size, block)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    blocks = flat.reshape(-1, block)
+    scale = jnp.max(jnp.abs(blocks), axis=1, keepdims=True)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    y = _compand(blocks / safe)
+    codes = jnp.clip(jnp.round(y * 127.0), -127, 127).astype(jnp.int8)
+    return _QTensor(codes, scale.astype(jnp.float32))
+
+
+def _dequantize_signed(q: _QTensor, shape, dtype=jnp.float32) -> jax.Array:
+    xn = _expand(q.codes.astype(jnp.float32) / 127.0)
+    flat = (xn * q.scales).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape).astype(dtype)
+
+
+def _quantize_sqrt(x: jax.Array, block: int) -> _QTensor:
+    """Non-negative tensor, quantized as mu-law of sqrt(x)/blockmax."""
+    flat = jnp.sqrt(jnp.maximum(x, 0.0)).reshape(-1)
+    pad = _pad_len(flat.size, block)
+    if pad:
+        flat = jnp.concatenate([flat, jnp.zeros((pad,), flat.dtype)])
+    blocks = flat.reshape(-1, block)
+    scale = jnp.max(blocks, axis=1, keepdims=True)
+    safe = jnp.where(scale > 0, scale, 1.0)
+    y = _compand(blocks / safe)  # in [0, 1]
+    # store as int8 with an offset of -128 so the buffer is a true byte tensor
+    codes = (jnp.clip(jnp.round(y * 255.0), 0, 255) - 128).astype(jnp.int8)
+    return _QTensor(codes, scale.astype(jnp.float32))
+
+
+def _dequantize_sqrt(q: _QTensor, shape, dtype=jnp.float32) -> jax.Array:
+    y = (q.codes.astype(jnp.float32) + 128.0) / 255.0
+    root = _expand(y) * q.scales
+    flat = (root * root).reshape(-1)
+    n = 1
+    for s in shape:
+        n *= s
+    return flat[:n].reshape(shape).astype(dtype)
+
+
+class Adam8bitState(NamedTuple):
+    count: jax.Array
+    mu: Any  # pytree of _QTensor (quantized) or fp32 array (small leaves)
+    nu: Any
+
+
+def adam8bit(
+    learning_rate: Union[float, Callable[[jax.Array], jax.Array]],
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    block_size: int = 256,
+    min_quant_size: int = 4096,
+) -> optax.GradientTransformation:
+    """AdamW with blockwise int8 momenta (decoupled weight decay, bias
+    correction identical to optax.adamw)."""
+
+    def quantize_leaf(mu_f, nu_f):
+        if mu_f.size < min_quant_size:
+            return mu_f, nu_f
+        return _quantize_signed(mu_f, block_size), _quantize_sqrt(nu_f, block_size)
+
+    def init_fn(params):
+        def mu_init(p):
+            z = jnp.zeros(p.shape, jnp.float32)
+            return _quantize_signed(z, block_size) if p.size >= min_quant_size else z
+
+        def nu_init(p):
+            z = jnp.zeros(p.shape, jnp.float32)
+            return _quantize_sqrt(z, block_size) if p.size >= min_quant_size else z
+
+        mu = jax.tree_util.tree_map(mu_init, params)
+        nu = jax.tree_util.tree_map(nu_init, params)
+        return Adam8bitState(jnp.zeros([], jnp.int32), mu, nu)
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("adam8bit requires params (decoupled weight decay)")
+        count = state.count + 1
+        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+
+        is_q = lambda x: isinstance(x, _QTensor)
+
+        def leaf_update(g, mu_s, nu_s, p):
+            g = g.astype(jnp.float32)
+            mu_f = _dequantize_signed(mu_s, g.shape) if is_q(mu_s) else mu_s
+            nu_f = _dequantize_sqrt(nu_s, g.shape) if is_q(nu_s) else nu_s
+            mu_f = b1 * mu_f + (1.0 - b1) * g
+            nu_f = b2 * nu_f + (1.0 - b2) * g * g
+            m_hat = mu_f / c1
+            v_hat = nu_f / c2
+            step = m_hat / (jnp.sqrt(v_hat) + eps) + weight_decay * p.astype(jnp.float32)
+            new_mu, new_nu = quantize_leaf(mu_f, nu_f)
+            return (-lr * step).astype(p.dtype), new_mu, new_nu
+
+        flat_g, treedef = jax.tree_util.tree_flatten(updates)
+        flat_mu = treedef.flatten_up_to(state.mu)
+        flat_nu = treedef.flatten_up_to(state.nu)
+        flat_p = treedef.flatten_up_to(params)
+        out = [leaf_update(g, m, n, p) for g, m, n, p in zip(flat_g, flat_mu, flat_nu, flat_p)]
+        new_updates = jax.tree_util.tree_unflatten(treedef, [o[0] for o in out])
+        new_mu = jax.tree_util.tree_unflatten(treedef, [o[1] for o in out])
+        new_nu = jax.tree_util.tree_unflatten(treedef, [o[2] for o in out])
+        return new_updates, Adam8bitState(count, new_mu, new_nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)

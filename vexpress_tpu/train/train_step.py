@@ -49,9 +49,11 @@ class TrainConfig:
     adam_epsilon: float = 1e-8
     max_grad_norm: float = 1.0
     gradient_accumulation_steps: int = 1
-    # memory-reduced optimizer state (the reference's bitsandbytes 8-bit Adam
-    # analog, train.py:464-472): store Adam momenta in bfloat16
-    reduce_optimizer_memory: bool = False
+    # memory-reduced optimizer state (the reference's bitsandbytes 8-bit Adam,
+    # train.py:464-472). False/"off": fp32 momenta; True/"8bit": blockwise
+    # int8 momenta (train/adam8bit.py, bnb AdamW8bit analog, ~9x smaller);
+    # "bf16": bfloat16 first moment only (lighter-touch option).
+    reduce_optimizer_memory: Any = False
     # objective
     prediction_type: str = "v_prediction"  # enable_zero_snr -> v_prediction
     snr_gamma: float = 5.0
@@ -195,19 +197,29 @@ def make_optimizer(params, cfg: TrainConfig) -> Tuple[optax.GradientTransformati
     """AdamW on trainable params only, global-norm clipping, optional
     gradient accumulation (train.py:464-489 + accelerate grad-accum)."""
     mask = trainable_mask(params, cfg)
+    reduce = cfg.reduce_optimizer_memory
+    if reduce is True or reduce == "8bit":
+        from .adam8bit import adam8bit
+
+        inner = adam8bit(
+            make_lr_schedule(cfg),
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+        )
+    else:
+        inner = optax.adamw(
+            make_lr_schedule(cfg),
+            b1=cfg.adam_beta1,
+            b2=cfg.adam_beta2,
+            eps=cfg.adam_epsilon,
+            weight_decay=cfg.adam_weight_decay,
+            mu_dtype=jnp.bfloat16 if reduce == "bf16" else None,
+        )
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
-        optax.masked(
-            optax.adamw(
-                make_lr_schedule(cfg),
-                b1=cfg.adam_beta1,
-                b2=cfg.adam_beta2,
-                eps=cfg.adam_epsilon,
-                weight_decay=cfg.adam_weight_decay,
-                mu_dtype=jnp.bfloat16 if cfg.reduce_optimizer_memory else None,
-            ),
-            mask,
-        ),
+        optax.masked(inner, mask),
     )
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
