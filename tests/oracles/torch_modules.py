@@ -92,9 +92,10 @@ class OBasicTransformerBlock(nn.Module):
 
 
 class OTemporalBasicTransformerBlock(nn.Module):
-    """Denoising-net block, read-mode math (mutual_self_attention.py:176-248)."""
+    """Denoising-net block, read-mode math (mutual_self_attention.py:176-248);
+    optional attn_temp branch (attention.py:380-395, :466-479)."""
 
-    def __init__(self, dim, heads, cross_dim):
+    def __init__(self, dim, heads, cross_dim, use_temporal_attention=False):
         super().__init__()
         dim_head = dim // heads
         self.norm1 = nn.LayerNorm(dim)
@@ -105,12 +106,23 @@ class OTemporalBasicTransformerBlock(nn.Module):
         self.attn2 = OAttention(dim, heads, dim_head, cross_dim=cross_dim)
         self.norm3 = nn.LayerNorm(dim)
         self.ff = OFeedForward(dim)
+        self.use_temporal_attention = use_temporal_attention
+        if use_temporal_attention:
+            self.norm_temp = nn.LayerNorm(dim)
+            self.attn_temp = OAttention(dim, heads, dim_head)
+            nn.init.zeros_(self.attn_temp.to_out[0].weight.data)
 
-    def forward(self, x, audio_kv, ref_kv, ref_scale=1.0, audio_scale=1.0):
+    def forward(self, x, audio_kv, ref_kv, ref_scale=1.0, audio_scale=1.0, frames=1):
         x = x + self.attn1(self.norm1(x))
         x = x + ref_scale * self.attn1_5(self.norm1_5(x), ref_kv)
         x = x + audio_scale * self.attn2(self.norm2(x), audio_kv)
         x = x + self.ff(self.norm3(x))
+        if self.use_temporal_attention:
+            bf, d, c = x.shape
+            b = bf // frames
+            x = x.reshape(b, frames, d, c).permute(0, 2, 1, 3).reshape(b * d, frames, c)
+            x = x + self.attn_temp(self.norm_temp(x))
+            x = x.reshape(b, d, frames, c).permute(0, 2, 1, 3).reshape(bf, d, c)
         return x
 
 
@@ -139,16 +151,21 @@ class OResnetBlock(nn.Module):
 class OSpatialTransformer(nn.Module):
     """Transformer2D/3D wrapper, use_linear_projection=False."""
 
-    def __init__(self, channels, heads, cross_dim, groups, temporal):
+    def __init__(self, channels, heads, cross_dim, groups, temporal,
+                 use_temporal_attention=False):
         super().__init__()
         self.norm = nn.GroupNorm(groups, channels, eps=1e-6)
         self.proj_in = nn.Conv2d(channels, channels, 1)
-        block = OTemporalBasicTransformerBlock if temporal else OBasicTransformerBlock
-        self.transformer_blocks = nn.ModuleList([block(channels, heads, cross_dim)])
+        if temporal:
+            block = OTemporalBasicTransformerBlock(
+                channels, heads, cross_dim, use_temporal_attention=use_temporal_attention)
+        else:
+            block = OBasicTransformerBlock(channels, heads, cross_dim)
+        self.transformer_blocks = nn.ModuleList([block])
         self.proj_out = nn.Conv2d(channels, channels, 1)
         self.temporal = temporal
 
-    def forward(self, x, ctx, ref_kv=None, ref_scale=1.0, audio_scale=1.0):
+    def forward(self, x, ctx, ref_kv=None, ref_scale=1.0, audio_scale=1.0, frames=1):
         n, c, h, w = x.shape
         residual = x
         hs = self.norm(x)
@@ -157,7 +174,7 @@ class OSpatialTransformer(nn.Module):
         banks = []
         for blk in self.transformer_blocks:
             if self.temporal:
-                hs = blk(hs, ctx, ref_kv, ref_scale, audio_scale)
+                hs = blk(hs, ctx, ref_kv, ref_scale, audio_scale, frames)
             else:
                 hs, bank = blk(hs, ctx)
                 banks.append(bank)

@@ -112,6 +112,58 @@ def test_spatial_transformer_temporal_mode():
     assert_close(out, t2j(ref))
 
 
+def test_spatial_transformer_attn_temp_parity():
+    """Optional attn_temp branch (attention.py:380-395): post-FF per-pixel
+    temporal self-attention. Output projection randomized so the branch is
+    non-trivial."""
+    B, F = 2, 3
+    o = OSpatialTransformer(16, heads=2, cross_dim=12, groups=4, temporal=True,
+                            use_temporal_attention=True).eval()
+    with torch.no_grad():
+        o.transformer_blocks[0].attn_temp.to_out[0].weight.normal_(0, 0.1)
+    x = torch.randn(B * F, 16, 4, 4)
+    audio = torch.randn(B * F, 5, 12)
+    ref_kv = torch.randn(B, 9, 16)
+    with torch.no_grad():
+        ref = o(x, audio, ref_kv.repeat_interleave(F, dim=0), 0.9, 2.0, F)
+    m = SpatialTransformer(16, heads=2, temporal=True, use_temporal_attention=True, groups=4)
+    out = m.apply(
+        flax_params_from_torch(o),
+        jnp.asarray(t2j(x)),
+        jnp.asarray(audio.numpy()),
+        (jnp.asarray(ref_kv.numpy()),),
+        jnp.float32(0.9),
+        jnp.float32(2.0),
+        False,
+        F,
+    )
+    assert_close(out, t2j(ref))
+
+
+def test_attn_temp_zero_init_is_identity():
+    """A freshly initialized attn_temp branch (zero to_out kernel) must not
+    change the block output vs the branch-off configuration."""
+    import jax
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(6, 16, 4, 4)).astype(np.float32))
+    audio = jnp.asarray(np.random.default_rng(4).normal(size=(6, 5, 12)).astype(np.float32))
+    ref_kv = (jnp.asarray(np.random.default_rng(5).normal(size=(2, 9, 16)).astype(np.float32)),)
+    x_j = jnp.transpose(x, (0, 2, 3, 1))
+
+    m_off = SpatialTransformer(16, heads=2, temporal=True, groups=4)
+    m_on = SpatialTransformer(16, heads=2, temporal=True, use_temporal_attention=True, groups=4)
+    p_on = m_on.init(jax.random.PRNGKey(0), x_j, audio, ref_kv, 0.9, 2.0, False, 3)
+    # strip the attn_temp/norm_temp params to init the branch-off module
+    p_off = jax.tree_util.tree_map(lambda x: x, p_on)
+    blk = p_off["params"]["transformer_blocks_0"]
+    p_off = {"params": {**p_on["params"],
+                        "transformer_blocks_0": {k: v for k, v in blk.items()
+                                                 if k not in ("attn_temp", "norm_temp")}}}
+    out_on = m_on.apply(p_on, x_j, audio, ref_kv, 0.9, 2.0, False, 3)
+    out_off = m_off.apply(p_off, x_j, audio, ref_kv, 0.9, 2.0, False, 3)
+    assert_close(out_on, out_off, atol=1e-6, rtol=1e-6)
+
+
 def test_motion_module():
     B, F = 2, 4
     o = OMotionModule(16, heads=2, num_blocks=1, max_len=8, groups=4).eval()
@@ -142,3 +194,26 @@ def test_sdpa_chunked_matches_full():
     full = sdpa(q, k, v, heads=4, q_chunk=100)
     chunked = sdpa(q, k, v, heads=4, q_chunk=16)  # pad path: 100 = 6*16 + 4
     assert_close(chunked, full, atol=1e-6, rtol=1e-6)
+
+
+def test_sdpa_fast_layouts_match_reference():
+    """The tiny-KV (audio attn2) and short-sequence (temporal motion) layout
+    specializations are exact rewrites of the einsum reference path."""
+    from vexpress_tpu.ops.attention import _attend, _attend_short, _attend_tiny_kv
+
+    rng = np.random.default_rng(1)
+    H, D = 4, 8
+
+    # tiny KV: lq large, lk = 5 (audio tokens)
+    q = jnp.asarray(rng.normal(size=(2, 100, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 5, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 5, H, D)).astype(np.float32))
+    assert_close(_attend_tiny_kv(q, k, v, 0.3), _attend(q, k, v, 0.3),
+                 atol=1e-6, rtol=1e-6)
+
+    # short sequence: lq = lk = 24 (motion module frames)
+    q = jnp.asarray(rng.normal(size=(6, 24, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(6, 24, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(6, 24, H, D)).astype(np.float32))
+    assert_close(_attend_short(q, k, v, 0.3), _attend(q, k, v, 0.3),
+                 atol=1e-6, rtol=1e-6)

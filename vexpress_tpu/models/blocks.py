@@ -117,18 +117,23 @@ class BasicTransformerBlock(nn.Module):
 
 
 class TemporalBasicTransformerBlock(nn.Module):
-    """Denoising-net block: self-attn, reference attn1_5, audio attn2, FF.
+    """Denoising-net block: self-attn, reference attn1_5, audio attn2, FF,
+    optional attn_temp.
 
     Math follows the "read"-mode hacked forward
     (mutual_self_attention.py:176-248): attn1 is plain self-attention, attn1_5
     attends to the reference bank scaled by `ref_scale`, attn2 cross-attends
-    to audio tokens scaled by `audio_scale`. The optional attn_temp branch is
-    disabled in V-Express configs (inference_v2.yaml:4) and is not built.
+    to audio tokens scaled by `audio_scale`. The optional attn_temp branch
+    (modules/attention.py:380-395, :466-479: post-FF per-pixel self-attention
+    across frames, zero-init output projection, no position encoding) is
+    disabled in V-Express configs (inference_v2.yaml:4) but built when
+    `use_temporal_attention` is set.
     """
 
     dim: int
     heads: int
     dim_head: int
+    use_temporal_attention: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -140,14 +145,30 @@ class TemporalBasicTransformerBlock(nn.Module):
         ref_scale: jax.Array,
         audio_scale: jax.Array,
         zero_uncond_kv: bool = False,
+        frames: int = 1,
     ) -> jax.Array:
         attn = lambda name: Attention(self.dim, self.heads, self.dim_head, dtype=self.dtype, name=name)
         norm = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
         x = x + attn("attn1")(norm("norm1")(x))
         x = x + ref_scale * attn("attn1_5")(norm("norm1_5")(x), ref_kv, zero_kv_first_half=zero_uncond_kv)
-        x = x + audio_scale * attn("attn2")(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
+        # audio attn2 output projection is zero-initialized at construction
+        # (attention.py:361) — a fresh model's audio branch starts inert
+        attn2 = Attention(self.dim, self.heads, self.dim_head, out_kernel_zero_init=True,
+                          dtype=self.dtype, name="attn2")
+        x = x + audio_scale * attn2(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(norm("norm3")(x))
+        if self.use_temporal_attention:
+            # (b f) d c -> (b d) f c, attend over frames, back (attention.py:466-479)
+            bf, d, c = x.shape
+            b = bf // frames
+            xt = x.reshape(b, frames, d, c).transpose(0, 2, 1, 3).reshape(b * d, frames, c)
+            a = Attention(
+                self.dim, self.heads, self.dim_head, out_kernel_zero_init=True,
+                dtype=self.dtype, name="attn_temp",
+            )(norm("norm_temp")(xt))
+            xt = xt + a
+            x = xt.reshape(b, d, frames, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
         return x
 
 
@@ -165,6 +186,7 @@ class SpatialTransformer(nn.Module):
     heads: int
     depth: int = 1
     temporal: bool = False
+    use_temporal_attention: bool = False
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
 
@@ -177,6 +199,7 @@ class SpatialTransformer(nn.Module):
         ref_scale: Optional[jax.Array] = None,
         audio_scale: Optional[jax.Array] = None,
         zero_uncond_kv: bool = False,
+        frames: int = 1,
     ):
         n, h, w, c = x.shape
         dim_head = self.in_channels // self.heads
@@ -190,8 +213,11 @@ class SpatialTransformer(nn.Module):
         for i in range(self.depth):
             if self.temporal:
                 hs = TemporalBasicTransformerBlock(
-                    self.in_channels, self.heads, dim_head, dtype=self.dtype, name=f"transformer_blocks_{i}"
-                )(hs, encoder_hidden_states, ref_kv[i], ref_scale, audio_scale, zero_uncond_kv)
+                    self.in_channels, self.heads, dim_head,
+                    use_temporal_attention=self.use_temporal_attention,
+                    dtype=self.dtype, name=f"transformer_blocks_{i}"
+                )(hs, encoder_hidden_states, ref_kv[i], ref_scale, audio_scale,
+                  zero_uncond_kv, frames)
             else:
                 hs, bank = BasicTransformerBlock(
                     self.in_channels, self.heads, dim_head, dtype=self.dtype, name=f"transformer_blocks_{i}"

@@ -143,6 +143,7 @@ class PiecewiseUNetRunner:
         )
         common = dict(
             temporal=temporal,
+            use_temporal_attention=cfg.unet_use_temporal_attention if temporal else False,
             eps=cfg.norm_eps,
             groups=cfg.norm_num_groups,
             dtype=self.dtype,
@@ -205,6 +206,7 @@ class PiecewiseUNetRunner:
             skips.extend(states)
 
         mid = MidBlock(ch[-1], num_layers=1, heads=cfg.attention_head_dim, temporal=True,
+                       use_temporal_attention=cfg.unet_use_temporal_attention,
                        use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
                        motion_heads=cfg.motion_num_attention_heads,
                        motion_blocks=cfg.motion_num_transformer_block,

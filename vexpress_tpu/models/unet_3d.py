@@ -40,6 +40,9 @@ class UNetConfig:
     flip_sin_to_cos: bool = True
     freq_shift: float = 0.0
     # V-Express additions (inference_v2.yaml:1-22)
+    # optional post-FF per-pixel temporal attention in every transformer block
+    # (inference_v2.yaml:4 unet_use_temporal_attention — off in V-Express)
+    unet_use_temporal_attention: bool = False
     use_motion_module: bool = True
     motion_module_mid_block: bool = True
     motion_num_attention_heads: int = 8
@@ -134,6 +137,7 @@ class DenoisingUNet3D(nn.Module):
         )
         common = dict(
             temporal=True,
+            use_temporal_attention=cfg.unet_use_temporal_attention,
             eps=cfg.norm_eps,
             groups=cfg.norm_num_groups,
             dtype=dt,
@@ -170,6 +174,7 @@ class DenoisingUNet3D(nn.Module):
             num_layers=1,
             heads=heads,
             temporal=True,
+            use_temporal_attention=cfg.unet_use_temporal_attention,
             use_motion=cfg.use_motion_module and cfg.motion_module_mid_block,
             motion_heads=cfg.motion_num_attention_heads,
             motion_blocks=cfg.motion_num_transformer_block,

@@ -55,6 +55,7 @@ class DownBlock(nn.Module):
     has_attention: bool = True
     add_downsample: bool = True
     temporal: bool = False
+    use_temporal_attention: bool = False
     use_motion: bool = False
     motion_heads: int = 8
     motion_blocks: int = 1
@@ -74,6 +75,7 @@ class DownBlock(nn.Module):
                     self.out_channels,
                     self.heads,
                     temporal=self.temporal,
+                    use_temporal_attention=self.use_temporal_attention,
                     groups=self.groups,
                     dtype=self.dtype,
                     name=f"attentions_{i}",
@@ -83,7 +85,7 @@ class DownBlock(nn.Module):
                     # per-block tuple indexed by layer (jittable pytree, used
                     # by the remat-able monolithic path)
                     ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv, frames)
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)
@@ -111,6 +113,7 @@ class MidBlock(nn.Module):
     num_layers: int = 1
     heads: int = 8
     temporal: bool = False
+    use_temporal_attention: bool = False
     use_motion: bool = False
     motion_heads: int = 8
     motion_blocks: int = 1
@@ -128,13 +131,14 @@ class MidBlock(nn.Module):
                 self.in_channels,
                 self.heads,
                 temporal=self.temporal,
+                use_temporal_attention=self.use_temporal_attention,
                 groups=self.groups,
                 dtype=self.dtype,
                 name=f"attentions_{i}",
             )
             if self.temporal:
                 ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
+                x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv, frames)
             else:
                 x, banks = st(x, ctx)
                 refs.push(banks)
@@ -163,6 +167,7 @@ class UpBlock(nn.Module):
     has_attention: bool = True
     add_upsample: bool = True
     temporal: bool = False
+    use_temporal_attention: bool = False
     use_motion: bool = False
     motion_heads: int = 8
     motion_blocks: int = 1
@@ -192,13 +197,14 @@ class UpBlock(nn.Module):
                     self.out_channels,
                     self.heads,
                     temporal=self.temporal,
+                    use_temporal_attention=self.use_temporal_attention,
                     groups=self.groups,
                     dtype=self.dtype,
                     name=f"attentions_{i}",
                 )
                 if self.temporal:
                     ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv)
+                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv, frames)
                 else:
                     x, banks = st(x, ctx)
                     refs.push(banks)

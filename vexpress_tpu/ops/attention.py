@@ -59,6 +59,38 @@ def _attend(q, k, v, scale):
     return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
 
 
+def _attend_tiny_kv(q, k, v, scale):
+    """Exact attention for very short KV (audio cross-attn attn2: 5 tokens).
+
+    The einsum path materializes (B, H, Lq, Lk) logits with Lk padded to 128
+    lanes (25x memory for Lk=5, ~GBs of padded fp32 traffic at SD shapes).
+    Unrolling the Lk axis keeps everything at (B, Lq, H*D)-shaped elementwise
+    ops: logits as per-token reductions, output as a weighted sum of value
+    rows. Softmax still in fp32.
+    """
+    b, lq, h, d = q.shape
+    lk = k.shape[1]
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    # logits[:, :, h, j] = sum_d q[b,l,h,d] * k[b,j,h,d]
+    logits = [
+        jnp.sum(qf * kf[:, j][:, None], axis=-1) * scale  # (B, Lq, H)
+        for j in range(lk)
+    ]
+    m = logits[0]
+    for j in range(1, lk):
+        m = jnp.maximum(m, logits[j])
+    exps = [jnp.exp(l - m) for l in logits]
+    denom = exps[0]
+    for j in range(1, lk):
+        denom = denom + exps[j]
+    out = jnp.zeros((b, lq, h, d), jnp.float32)
+    for j in range(lk):
+        w_j = (exps[j] / denom)[..., None]  # (B, Lq, H, 1)
+        out = out + w_j * v[:, j].astype(jnp.float32)[:, None]
+    return out.astype(v.dtype)
+
+
 def _attend_short(q, k, v, scale):
     """Same math as `_attend` for short sequences (temporal motion attention:
     Lq = Lk = frames <= 32, huge batch). Folding heads into the batch axis
@@ -117,7 +149,12 @@ def sdpa(
             q_chunk = lq
 
     if q_chunk >= lq:
-        attend = _attend_short if (lq <= 64 and lk <= 64) else _attend
+        if lk <= 8 and lq > 64:
+            attend = _attend_tiny_kv
+        elif lq <= 64 and lk <= 64:
+            attend = _attend_short
+        else:
+            attend = _attend
         out = attend(q, k, v, scale)
         return out.reshape(b, lq, inner)
 
@@ -144,6 +181,9 @@ class Attention(nn.Module):
     cross_attention_dim: Optional[int] = None  # informational; kv dim inferred
     qkv_bias: bool = False
     out_bias: bool = True
+    # zero-init to_out kernel (reference zero-inits attn2/attn_temp output
+    # projections at construction, modules/attention.py:361, :389)
+    out_kernel_zero_init: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -159,7 +199,8 @@ class Attention(nn.Module):
         to_q = dense(inner, use_bias=self.qkv_bias, name="to_q")
         to_k = dense(inner, use_bias=self.qkv_bias, name="to_k")
         to_v = dense(inner, use_bias=self.qkv_bias, name="to_v")
-        to_out = dense(self.query_dim, use_bias=self.out_bias, name="to_out_0")
+        out_kw = dict(kernel_init=nn.initializers.zeros) if self.out_kernel_zero_init else {}
+        to_out = dense(self.query_dim, use_bias=self.out_bias, name="to_out_0", **out_kw)
 
         def attend(hs, kv_):
             q, k, v = to_q(hs), to_k(kv_), to_v(kv_)
