@@ -53,7 +53,9 @@ def main():
 
     rng = np.random.default_rng(0)
     reference_image = rng.uniform(0, 1, (height, width, 3)).astype(np.float32)
-    kps_images = rng.uniform(0, 1, (video_length, height, width, 3)).astype(np.float32)
+    # uint8 kps frames, like the production CLI (rasterizer output) — uploads
+    # raw bytes and normalizes on device
+    kps_images = rng.integers(0, 256, (video_length, height, width, 3), dtype=np.uint8)
     n_samples = int(video_length / fps_video * 16000)
     waveform = (0.1 * rng.standard_normal(n_samples)).astype(np.float32)
 
@@ -69,6 +71,10 @@ def main():
         context_frames=context_frames,
         context_overlap=context_overlap,
         seed=0,
+        # production output path: on-device median filter, uint8 download
+        # (matches the reference workload, which median-filters in save_video)
+        median_filter=True,
+        output_uint8=True,
     )
 
     def timed_call():
@@ -80,7 +86,7 @@ def main():
 
     cold_s, video = timed_call()
     assert video.shape == (video_length, height, width, 3)
-    assert np.isfinite(video).all()
+    assert video.dtype == np.uint8 and video.max() > 0
 
     if quick:
         steady_s = cold_s

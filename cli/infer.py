@@ -186,7 +186,8 @@ def main():
     else:
         raise SystemExit(f"unknown retarget strategy {strategy}")
 
-    kps_images = render_kps_sequence(H, W, kps_sequence).astype(np.float32) / 255.0
+    # keep uint8: raw frames upload 4x lighter and normalize on device
+    kps_images = render_kps_sequence(H, W, kps_sequence)
 
     def progress(i, t):
         print(f"[vexpress] denoise step {i + 1}/{args.num_inference_steps} (t={t})", flush=True)
@@ -221,13 +222,15 @@ def main():
             mode=mode,
             save_memory=args.save_gpu_memory,
             mesh=create_mesh() if mode == "sharded" else None,
+            median_filter=not args.no_median_filter,  # on-device, pre-download
+            output_uint8=True,
             progress_callback=progress,
         )
     if args.profile_dir:
         print(f"[vexpress] device trace written to {args.profile_dir}")
 
     save_video(video, args.audio_path, args.output_path, fps,
-               apply_median_filter=not args.no_median_filter)
+               apply_median_filter=False)  # already filtered on device
     consumed = time.time() - start_time
     print(f"The generated video has been saved at {args.output_path}. "
           f"The generation time is {consumed:.1f} seconds. "

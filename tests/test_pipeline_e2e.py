@@ -118,6 +118,34 @@ def test_streamed_matches_fused(tiny_pipeline):
     np.testing.assert_allclose(lat_streamed, lat_fused, atol=1e-5, rtol=1e-5)
 
 
+def test_uint8_kps_and_output(tiny_pipeline):
+    """uint8 kps input (raw upload, device-side normalize) matches the float
+    path; output_uint8 is the quantization of the float output."""
+    rng = np.random.default_rng(9)
+    H = W = 64
+    L = 10
+    kps_u8 = rng.integers(0, 256, (L, H, W, 3), dtype=np.uint8)
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(5333,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+    )
+    lat_u8 = tiny_pipeline(kps_images=kps_u8, return_latents=True, **kwargs)
+    lat_f = tiny_pipeline(kps_images=kps_u8.astype(np.float32) / 255.0,
+                          return_latents=True, **kwargs)
+    np.testing.assert_allclose(lat_u8, lat_f, atol=1e-5, rtol=1e-5)
+
+    vid_f = tiny_pipeline(kps_images=kps_u8, median_filter=True, **kwargs)
+    vid_u8 = tiny_pipeline(kps_images=kps_u8, median_filter=True,
+                           output_uint8=True, **kwargs)
+    assert vid_u8.dtype == np.uint8 and vid_f.dtype == np.float32
+    expected = (np.clip(vid_f, 0, 1) * 255).astype(np.uint8)
+    # float->uint8 rounding at the exact bin edges may differ by 1
+    assert np.abs(vid_u8.astype(np.int16) - expected.astype(np.int16)).max() <= 1
+
+
 def test_save_memory_matches_streamed(tiny_pipeline):
     """Host-resident kps conditioning (--save_gpu_memory analog) is exact:
     gathering window groups on host then shipping equals device-side gather."""

@@ -47,6 +47,47 @@ def median_filter_3d(video: jax.Array, kernel_size: int = 3, frame_chunk: int = 
     return out.transpose(0, 2, 3, 1)
 
 
+def median_filter_3d_chunked(video: jax.Array, chunk: int = 32) -> jax.Array:
+    """Exact median_filter_3d in fixed-size frame chunks so every video
+    length reuses ONE compiled program (remote compiles cost minutes per new
+    shape). Each chunk is processed with a 1-frame halo on both sides; the
+    temporal reflect padding of the full filter is reproduced by reflecting
+    the halo indices at the true video boundaries."""
+    f = video.shape[0]
+    if f <= chunk:
+        return median_filter_3d(video)
+    outs = []
+    for start in range(0, f, chunk):
+        core = min(chunk, f - start)
+        # halo indices [start-1, ..., start+chunk] reflected at boundaries
+        idx = np.arange(start - 1, start + chunk + 1)
+        idx = np.abs(idx)  # reflect at 0
+        idx = np.where(idx >= f, 2 * (f - 1) - idx, idx)  # reflect at f-1
+        seg = video[jnp.asarray(idx)]
+        filtered = _median_core(seg)  # (chunk, ...) core frames
+        outs.append(filtered[:core])
+    return jnp.concatenate(outs, axis=0)
+
+
+@jax.jit
+def _median_core(seg: jax.Array) -> jax.Array:
+    """3x3x3 median of the core frames of `seg` (first/last frame are halo;
+    spatial reflect padding as in median_filter_3d)."""
+    k, pad = 3, 1
+    fh, h, w, c = seg.shape
+    v = seg.transpose(0, 3, 1, 2)
+    v = jnp.pad(v, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+
+    def one_frame(i):
+        s = jax.lax.dynamic_slice(v, (i, 0, 0, 0), (k, c, h + 2 * pad, w + 2 * pad))
+        patches = [s[:, :, dy : dy + h, dx : dx + w] for dy in range(k) for dx in range(k)]
+        stack = jnp.stack(patches, axis=0).reshape(k * k * k, c, h, w)
+        return jnp.median(stack, axis=0)
+
+    out = jax.lax.map(one_frame, jnp.arange(fh - 2), batch_size=2)
+    return out.transpose(0, 2, 3, 1)
+
+
 def save_video(
     video: np.ndarray,
     audio_path: Optional[str],
@@ -54,14 +95,22 @@ def save_video(
     fps: float = 30.0,
     apply_median_filter: bool = True,
 ) -> None:
-    """video: (F, H, W, 3) float in [0, 1], RGB. Writes mp4 (+ audio mux)."""
+    """video: (F, H, W, 3) RGB — float in [0, 1] or uint8 (as produced by
+    VExpressPipeline(output_uint8=True), which also applies the median filter
+    on device; pass apply_median_filter=False then). Writes mp4 (+ audio mux)."""
     out = pathlib.Path(output_path)
     out.parent.mkdir(exist_ok=True, parents=True)
 
+    video = np.asarray(video)
     if apply_median_filter:
-        video = np.asarray(median_filter_3d(jnp.asarray(video)))
+        if video.dtype == np.uint8:
+            video = video.astype(np.float32) / 255.0
+        video = np.asarray(median_filter_3d_chunked(jnp.asarray(video)))
 
-    frames = (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
+    if video.dtype == np.uint8:
+        frames = video
+    else:
+        frames = (np.clip(video, 0.0, 1.0) * 255).astype(np.uint8)
     f, h, w, _ = frames.shape
 
     temp = str(out.with_name(out.stem + "-temp" + out.suffix))

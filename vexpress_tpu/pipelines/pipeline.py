@@ -166,7 +166,11 @@ class VExpressPipeline:
 
     @functools.partial(jax.jit, static_argnums=0)
     def _kps_features(self, kps_images: jax.Array) -> jax.Array:
-        """(L, H, W, 3) in [0,1] -> (L, h, w, 320)."""
+        """(L, H, W, 3) in [0,1] float — or raw uint8, normalized on device
+        (uint8 upload is 4x less host->device traffic; the axon tunnel moves
+        ~50 MB/s up) -> (L, h, w, 320)."""
+        if kps_images.dtype == jnp.uint8:
+            kps_images = kps_images.astype(self.m.dtype) / 255.0
         feats = self.v_kps_guider.apply(self.params["v_kps_guider"], kps_images[None])
         return feats[0]
 
@@ -263,8 +267,20 @@ class VExpressPipeline:
         img = self.vae.apply(self.params["vae"], latents / LATENT_SCALE, method=AutoencoderKL.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
-    def decode_latents(self, latents: jax.Array, chunk: int = 16) -> np.ndarray:
-        """(L, h, w, 4) -> (L, H, W, 3) float32 in [0, 1], chunked over frames."""
+    @functools.partial(jax.jit, static_argnums=0)
+    def _to_uint8(self, video: jax.Array) -> jax.Array:
+        return (jnp.clip(video.astype(jnp.float32), 0.0, 1.0) * 255).astype(jnp.uint8)
+
+    def decode_latents(self, latents: jax.Array, chunk: int = 16,
+                       median_filter: bool = False, as_uint8: bool = False) -> np.ndarray:
+        """(L, h, w, 4) -> (L, H, W, 3), chunked over frames.
+
+        The decoded video stays device-resident until one final transfer: the
+        axon tunnel moves ~10 MB/s device->host, so per-chunk fp32 downloads
+        (390 MB at 124x512x512) would dominate end-to-end time. The median
+        filter (reference save_video's flicker removal) and the uint8
+        conversion therefore run ON DEVICE; `as_uint8` downloads 4x less.
+        Returns float32 in [0, 1] unless as_uint8."""
         outs = []
         n = latents.shape[0]
         for i in range(0, n, chunk):
@@ -272,10 +288,17 @@ class VExpressPipeline:
             if sl.shape[0] < chunk:  # pad to keep one compiled shape
                 pad = chunk - sl.shape[0]
                 sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
-                outs.append(np.asarray(self._decode_chunk(sl), dtype=np.float32)[: chunk - pad])
+                outs.append(self._decode_chunk(sl)[: chunk - pad])
             else:
-                outs.append(np.asarray(self._decode_chunk(sl), dtype=np.float32))
-        return np.concatenate(outs, axis=0)
+                outs.append(self._decode_chunk(sl))
+        video = jnp.concatenate(outs, axis=0)
+        if median_filter:
+            from .media import median_filter_3d_chunked
+
+            video = median_filter_3d_chunked(video)
+        if as_uint8:
+            return np.asarray(self._to_uint8(video))
+        return np.asarray(video, dtype=np.float32)
 
     # ---------------------------------------------------------- denoise step
 
@@ -524,18 +547,23 @@ class VExpressPipeline:
         save_memory: bool = False,
         mesh=None,
         return_latents: bool = False,
+        median_filter: bool = False,  # on-device 3x3x3 flicker filter (save_video's)
+        output_uint8: bool = False,  # download uint8 (4x less tunnel traffic)
         progress_callback=None,
     ) -> np.ndarray:
-        """Generate a talking-head video. Returns (L, H, W, 3) float32 in [0,1]."""
+        """Generate a talking-head video. Returns (L, H, W, 3) float32 in
+        [0,1], or uint8 when `output_uint8`."""
         if video_length is None:
             video_length = len(kps_images)
         assert len(kps_images) == video_length, (len(kps_images), video_length)
         do_cfg = guidance_scale > 1.0
         dt = self.m.dtype
 
+        # uint8 kps frames upload raw (4x less tunnel traffic) and normalize
+        # on device inside _kps_features; float inputs upload as compute dtype
         kps_images = np.asarray(kps_images)
-        if kps_images.dtype == np.uint8:
-            kps_images = kps_images.astype(np.float32) / 255.0
+        kps_dev = (jnp.asarray(kps_images) if kps_images.dtype == np.uint8
+                   else jnp.asarray(kps_images, dt))
 
         # conditioning precompute (one device program each)
         verbose = progress_callback is not None
@@ -556,10 +584,10 @@ class VExpressPipeline:
         with phase("kps features", verbose):
             if shape_bucketing:
                 kps_feat = with_compile_retries(
-                    self._kps_features_chunked, jnp.asarray(kps_images, dt), label="kps guider")
+                    self._kps_features_chunked, kps_dev, label="kps guider")
             else:
                 kps_feat = with_compile_retries(
-                    self._kps_features, jnp.asarray(kps_images, dt), label="kps guider")
+                    self._kps_features, kps_dev, label="kps guider")
             kps_feat.block_until_ready()
         with phase("audio tokens", verbose):
             if shape_bucketing:
@@ -627,4 +655,5 @@ class VExpressPipeline:
 
         if return_latents:
             return np.asarray(latents)
-        return self.decode_latents(latents)
+        return self.decode_latents(latents, median_filter=median_filter,
+                                   as_uint8=output_uint8)
