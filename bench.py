@@ -17,10 +17,15 @@ Prints ONE JSON line:
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# inference-only process: the larger flash block_q is VMEM-safe (no
+# differentiated kernel) and ~3% faster at SD shapes (ops/flash.py)
+os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
 
 BASELINE_FPS = 0.36
 

@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# inference never differentiates the flash kernel, so the larger (faster)
+# block_q is safe here; training keeps the VMEM-safe 1024 (ops/flash.py)
+os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
+
 import numpy as np
 
 

@@ -148,17 +148,24 @@ def main():
     use_piecewise = args.piecewise == "on" or (
         args.piecewise == "auto" and jax.default_backend() == "tpu"
     )
+    # optimizer state exists only for TRAINABLE leaves (mask_tree prunes the
+    # frozen ones) — at stage 2 full-tree state would waste GBs of HBM
+    from vexpress_tpu.train.train_step import mask_tree
+
+    params_trainable = mask_tree(params, mask)
     mesh = create_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
         n_dev = mesh.shape["dp"]
         repl = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, P("dp"))
         params = jax.device_put(params, repl)
-        opt_state = jax.device_put(tx.init(params), shard_opt_state_zero2(tx.init(params), mesh))
+        params_trainable = mask_tree(params, mask)
+        opt_state = tx.init(params_trainable)
+        opt_state = jax.device_put(opt_state, shard_opt_state_zero2(opt_state, mesh))
     else:
         n_dev = 1
         batch_sh = None
-        opt_state = tx.init(params)
+        opt_state = tx.init(params_trainable)
     state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
 
     if use_piecewise:

@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from vexpress_tpu.train.train_step import TrainConfig, build_train_step, make_optimizer
+from vexpress_tpu.train.train_step import TrainConfig, build_train_step, make_optimizer, mask_tree
 from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
 
 from .test_pipeline_e2e import tiny_pipeline  # noqa: F401
@@ -86,7 +86,7 @@ def test_piecewise_step_updates(tiny_pipeline):  # noqa: F811
     params = tiny_pipeline.params
     tx, mask = make_optimizer(params, cfg)
     trainer = PiecewiseTrainer(tiny_pipeline, cfg, tx, mask=mask)
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state = TrainState(params, tx.init(mask_tree(params, mask)), jnp.zeros((), jnp.int32))
     batch = _tiny_batch(np.random.default_rng(8), b=2, f=2)
     state2, metrics = trainer.step(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))

@@ -10,6 +10,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from vexpress_tpu.parallel.mesh import create_mesh, shard_opt_state_zero2
 from vexpress_tpu.train.train_step import (
+    mask_tree,
     TrainConfig,
     TrainState,
     build_train_step,
@@ -78,7 +79,7 @@ def test_train_step_updates_only_trainable(tiny_pipeline):  # noqa: F811
     tx, mask = make_optimizer(params, cfg)
     step_fn, loss_fn = build_train_step(tiny_pipeline, cfg, tx, mask=mask)
 
-    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    state = TrainState(params, tx.init(mask_tree(params, mask)), jnp.zeros((), jnp.int32))
     batch = _tiny_batch(np.random.default_rng(0))
     state2, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(0))
 
@@ -247,7 +248,7 @@ def test_train_step_sharded_dp(tiny_pipeline):  # noqa: F811
     batch_sh = NamedSharding(mesh, P("dp"))
 
     params = jax.device_put(params, repl)
-    opt_state = tx.init(params)
+    opt_state = tx.init(mask_tree(params, mask))
     opt_state = jax.device_put(opt_state, shard_opt_state_zero2(opt_state, mesh))
     state = TrainState(params, opt_state, jnp.zeros((), jnp.int32))
 

@@ -149,9 +149,10 @@ def sdpa(
             q_chunk = lq
 
     if q_chunk >= lq:
-        if lk <= 8 and lq > 64:
+        # shape-specialized layouts (bisection kill-switches via env)
+        if lk <= 8 and lq > 64 and _os.environ.get("VEXPRESS_TINY_KV", "1") == "1":
             attend = _attend_tiny_kv
-        elif lq <= 64 and lk <= 64:
+        elif lq <= 64 and lk <= 64 and _os.environ.get("VEXPRESS_SHORT_ATTEND", "1") == "1":
             attend = _attend_short
         else:
             attend = _attend

@@ -15,10 +15,15 @@ caller falls back to chunked XLA attention otherwise (ops.attention.sdpa).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+
+# tuning/bisection knobs (defaults = measured v5e optimum, see below)
+_BQ = int(os.environ.get("VEXPRESS_FLASH_BQ", "1024"))
+_BK = int(os.environ.get("VEXPRESS_FLASH_BK", "1024"))
 
 
 def flash_supported(lq: int, lk: int) -> bool:
@@ -52,11 +57,13 @@ def flash_sdpa(
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
 
     # block sizes tuned on v5e at SD 512x512 shapes (tools/microbench_ops.py):
-    # bq=2048/bk=1024 is ~9% faster than 512/512 and ~2.3x faster than 256/256
+    # 1024/1024 is ~6% faster than 512/512; 2048/1024 is another ~3% faster
+    # but OOMs scoped VMEM in the DIFFERENTIATED kernel (training's forward
+    # additionally carries fp32 softmax stats) — 1024 is the safe optimum.
     block = BlockSizes(
-        block_q=min(2048, lq),
-        block_k_major=min(1024, lk),
-        block_k=min(1024, lk),
+        block_q=min(_BQ, lq),
+        block_k_major=min(_BK, lk),
+        block_k=min(_BK, lk),
         block_b=1,
         block_q_major_dkv=min(512, lq),
         block_k_major_dkv=min(512, lk),

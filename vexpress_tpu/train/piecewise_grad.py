@@ -42,6 +42,14 @@ class StageChain:
 
     Each stage is `fn(params, state, consts) -> (state_out, aux_out)` where
     aux_out is a pytree of extra outputs (e.g. reference banks; may be ()).
+
+    `set_grad_masks(param_masks, consts_cot_masks)` restricts what each
+    backward program RETURNS: frozen-parameter grads and unneeded consts
+    cotangents become None (pruned from the output pytree), so XLA dead-code
+    -eliminates their computation and no HBM buffers ever exist for them —
+    the piecewise analog of requires_grad_(False). Masks are fixed per chain
+    (one training run has one trainability config); set them before the
+    first backward call.
     """
 
     def __init__(self, name: str):
@@ -49,9 +57,16 @@ class StageChain:
         self.stages: List[Tuple[str, Callable]] = []
         self._fwd_jits: Dict[int, Any] = {}
         self._bwd_jits: Dict[int, Any] = {}
+        self._param_masks: Optional[List[Any]] = None
+        self._consts_cot_masks: Optional[List[Any]] = None
 
     def add(self, name: str, fn: Callable) -> None:
         self.stages.append((name, fn))
+
+    def set_grad_masks(self, param_masks=None, consts_cot_masks=None) -> None:
+        assert not self._bwd_jits, "set_grad_masks must precede the first backward"
+        self._param_masks = param_masks
+        self._consts_cot_masks = consts_cot_masks
 
     def _fwd(self, i):
         if i not in self._fwd_jits:
@@ -64,10 +79,25 @@ class StageChain:
     def _bwd(self, i):
         if i not in self._bwd_jits:
             fn = self.stages[i][1]
+            p_mask = self._param_masks[i] if self._param_masks is not None else None
+            c_mask = self._consts_cot_masks[i] if self._consts_cot_masks is not None else None
+
+            def prune(tree, mask):
+                if mask is None:
+                    return tree
+                if mask is False:
+                    return None
+                if mask is True:
+                    return tree
+                return jax.tree_util.tree_map(
+                    lambda x, m_: x if m_ else None, tree, mask,
+                    is_leaf=lambda x: x is None,
+                )
 
             def bwd(params, state, consts, cot_state, cot_aux):
                 _, vjp_fn = jax.vjp(fn, params, state, consts)
-                return vjp_fn((cot_state, cot_aux))
+                g_p, g_s, g_c = vjp_fn((cot_state, cot_aux))
+                return prune(g_p, p_mask), g_s, prune(g_c, c_mask)
 
             jitted = jax.jit(bwd)
             name = f"{self.name}/{self.stages[i][0]}/bwd"
@@ -86,13 +116,16 @@ class StageChain:
         return state, aux_list, saved
 
     def backward(self, params_list, consts_list, saved, cot_state, cot_aux_list):
-        """Returns (grads_list, cot_initial_state, cot_consts_list)."""
+        """Returns (grads_list, cot_initial_state, cot_consts_list).
+        Consumes `saved` in place: each stage's checkpointed input state is
+        released as soon as its backward program has used it."""
         grads_list = [None] * len(self.stages)
         cot_consts_list = [None] * len(self.stages)
         for i in reversed(range(len(self.stages))):
             g_p, cot_state, g_c = self._bwd(i)(
                 params_list[i], saved[i], consts_list[i], cot_state, cot_aux_list[i]
             )
+            saved[i] = None
             grads_list[i] = g_p
             cot_consts_list[i] = g_c
         return grads_list, cot_state, cot_consts_list
@@ -258,13 +291,55 @@ class PiecewiseUNetGrad:
         loss_args=(),  # pytree of extra loss inputs (targets, masks, weights)
         ref_scale=1.0,
         audio_scale=1.0,
+        param_mask=None,  # bool tree over `params`: False leaves get NO grads
+        want_ctx_cot: bool = True,  # audio-token cotangents (audio proj trains)
+        want_refs_cot: bool = True,  # bank cotangents (reference net trains)
+        want_kps_cot: bool = True,  # kps-feature cotangents (guider trains)
     ):
         """Returns (loss, grads_tree, cotangents) where cotangents =
-        dict(ctx=..., refs=[...], kps=...) for chaining into upstream models."""
+        dict(ctx=..., refs=[...], kps=...) for chaining into upstream models.
+
+        With `param_mask`/`want_*`, frozen-parameter gradients and unneeded
+        conditioning cotangents are pruned INSIDE the backward programs
+        (None in the outputs, dead-code-eliminated by XLA) — at stage 2 this
+        keeps ~3.5 GB of frozen-UNet gradient buffers from ever existing."""
         cfg = self.cfg
         dt = self.dtype
         b, f, h, w, _ = sample.shape
         chain = self._denoiser_chain(b, f)
+
+        lp = cfg.layers_per_block
+        stage_counts = {"down_blocks_0": lp, "down_blocks_1": lp, "down_blocks_2": lp,
+                        "down_blocks_3": 0, "mid_block": 1, "up_blocks_0": 0,
+                        "up_blocks_1": lp + 1, "up_blocks_2": lp + 1, "up_blocks_3": lp + 1}
+        fp = (param_mask is not None
+              and tuple(jax.tree_util.tree_leaves(param_mask)),
+              want_ctx_cot, want_refs_cot, want_kps_cot)
+        if getattr(chain, "_grad_mask_fp", None) is None:
+            if param_mask is not None or not (want_ctx_cot and want_refs_cot and want_kps_cot):
+                pmasks = None
+                if param_mask is not None:
+                    pmasks, _ = self._denoiser_params_consts(
+                        param_mask, None, None, [None] * len(ref_features), None, None)
+                cmasks = []
+                for name in self.STAGE_NAMES_3D:
+                    if name == "time_embedding":
+                        cmasks.append(False)
+                    elif name == "conv_in":
+                        cmasks.append(bool(want_kps_cot))
+                    elif name == "conv_out":
+                        cmasks.append(True)
+                    else:
+                        n = stage_counts[name]
+                        cmasks.append((bool(want_ctx_cot),
+                                       tuple([bool(want_refs_cot)] * n),
+                                       (False, False)))
+                chain.set_grad_masks(pmasks, cmasks)
+            chain._grad_mask_fp = fp
+        elif chain._grad_mask_fp != fp:
+            raise ValueError(
+                "this PiecewiseUNetGrad chain is already specialized to a different "
+                "trainability configuration; use a separate instance per config")
 
         x = sample.reshape(b * f, h, w, sample.shape[-1]).astype(dt)
         ctx = audio_tokens.reshape(b * f, audio_tokens.shape[2], audio_tokens.shape[3]).astype(dt)
@@ -308,9 +383,9 @@ class PiecewiseUNetGrad:
             else:
                 grads["params"][name] = g["params"]
 
-        # accumulate conditioning cotangents
+        # accumulate conditioning cotangents (pruned entries arrive as None)
         cot_ctx = None
-        cot_refs = [jnp.zeros_like(r) for r in refs]
+        cot_refs = [jnp.zeros_like(r) for r in refs] if want_refs_cot else None
         lp = cfg.layers_per_block
         counts = [0, 0, lp, lp, lp, 0, 1, 0, lp + 1, lp + 1, lp + 1, 0]
         cursor = 0
@@ -323,9 +398,11 @@ class PiecewiseUNetGrad:
                 continue
             else:
                 g_ctx, g_refs, _ = gc
-                cot_ctx = g_ctx if cot_ctx is None else cot_ctx + g_ctx
+                if g_ctx is not None:
+                    cot_ctx = g_ctx if cot_ctx is None else cot_ctx + g_ctx
                 for j, gr in enumerate(g_refs):
-                    cot_refs[cursor + j] = cot_refs[cursor + j] + gr
+                    if gr is not None:
+                        cot_refs[cursor + j] = cot_refs[cursor + j] + gr
                 cursor += counts[idx]
 
         cots = {
@@ -338,9 +415,11 @@ class PiecewiseUNetGrad:
 
     # ---------------------------------------------------------- reference net
 
-    def refnet_forward_and_grad(self, params, ref_latent, cot_banks_fn=None):
+    def refnet_forward_and_grad(self, params, ref_latent, cot_banks_fn=None,
+                                param_mask=None):
         """Piecewise forward of ReferenceUNet2D returning banks plus a
-        backward(cot_banks) -> grads function."""
+        backward(cot_banks) -> grads function. `param_mask` prunes frozen
+        parameter grads (e.g. up_blocks_3, always frozen, train.py:404-406)."""
         cfg = self.cfg
         dt = self.dtype
         b = ref_latent.shape[0]
@@ -414,13 +493,26 @@ class PiecewiseUNetGrad:
 
         stage_names = (["time_embedding", "conv_in"] + [f"down_blocks_{i}" for i in range(4)]
                        + ["mid_block"] + [f"up_blocks_{i}" for i in range(4)])
-        params_list = []
-        for name in stage_names:
-            if name in ("time_embedding", "conv_in"):
-                params_list.append(_top(params, [name]))
-            else:
-                params_list.append(_sub(params, name))
+
+        def split(tree):
+            out = []
+            for name in stage_names:
+                if name in ("time_embedding", "conv_in"):
+                    out.append(_top(tree, [name]))
+                else:
+                    out.append(_sub(tree, name))
+            return out
+
+        params_list = split(params)
         consts_list = [()] * len(stage_names)
+
+        fp = param_mask is not None and tuple(jax.tree_util.tree_leaves(param_mask))
+        if getattr(chain, "_grad_mask_fp", None) is None:
+            if param_mask is not None:
+                chain.set_grad_masks(split(param_mask), None)
+            chain._grad_mask_fp = fp
+        elif chain._grad_mask_fp != fp:
+            raise ValueError("refnet chain already specialized to a different mask")
 
         state0 = (ref_latent.astype(dt), ())
         final_state, aux_list, saved = chain.forward(params_list, state0, consts_list)
@@ -446,9 +538,15 @@ class PiecewiseUNetGrad:
             # banks (they only affect the unused sample output)
             for k in ("conv_norm_out", "conv_out"):
                 if k in params["params"]:
-                    grads["params"][k] = jax.tree_util.tree_map(
-                        jnp.zeros_like, params["params"][k]
-                    )
+                    if param_mask is not None:
+                        grads["params"][k] = jax.tree_util.tree_map(
+                            lambda p, m_: jnp.zeros_like(p) if m_ else None,
+                            params["params"][k], param_mask["params"][k],
+                        )
+                    else:
+                        grads["params"][k] = jax.tree_util.tree_map(
+                            jnp.zeros_like, params["params"][k]
+                        )
             return grads
 
         return tuple(banks), backward

@@ -20,7 +20,11 @@ from ..diffusion.ddim import DDIMScheduler
 from ..models.vae import AutoencoderKL
 from ..pipelines.pipeline import LATENT_SCALE
 from .piecewise_grad import PiecewiseUNetGrad
-from .train_step import TrainConfig, TrainState
+from .train_step import TrainConfig, TrainState, apply_updates_masked, mask_tree
+
+
+def _any_trainable(mask_subtree) -> bool:
+    return any(jax.tree_util.tree_leaves(mask_subtree))
 
 
 class PiecewiseTrainer:
@@ -140,8 +144,17 @@ class PiecewiseTrainer:
             params["audio_projection"], batch["audio_frame_embeddings"], prep["uncond"]
         )
 
+        # trainability per module (stage config): frozen modules get neither
+        # a backward pass nor gradient buffers (their grads are None-pruned
+        # trees matching mask_tree(params, mask))
+        mask = self.mask or jax.tree_util.tree_map(lambda _: True, params)
+        train_ref = _any_trainable(mask["reference_net"])
+        train_kps = _any_trainable(mask["v_kps_guider"])
+        train_audio = _any_trainable(mask["audio_projection"])
+
         banks, refnet_bwd = self.grad.refnet_forward_and_grad(
-            params["reference_net"], prep["ref_latents"]
+            params["reference_net"], prep["ref_latents"],
+            param_mask=mask["reference_net"] if train_ref else None,
         )
         refs, refs_fn = self._scale_refs_fwd(banks, prep["uncond"], prep["ref_keep"])
 
@@ -160,42 +173,69 @@ class PiecewiseTrainer:
         loss, unet_grads, cots = self.grad.denoiser_value_and_grad(
             params["denoising_unet"], prep["noisy"], prep["timesteps"], tok, refs,
             kps_feat, loss_head, loss_args=(prep["target"], lip, prep["snr_w"]),
+            param_mask=mask["denoising_unet"],
+            want_ctx_cot=train_audio, want_refs_cot=train_ref, want_kps_cot=train_kps,
         )
 
-        # chain cotangents upstream
+        # chain cotangents upstream; fully frozen modules contribute
+        # None-pruned grad trees (no buffers). Without a mask (testing the
+        # raw math) keep the legacy zero-grads for the always-frozen encoders.
+        def frozen_grads(name):
+            if self.mask is None:
+                return jax.tree_util.tree_map(jnp.zeros_like, params[name])
+            return mask_tree(params[name], mask[name])
+
         grads: Dict[str, Any] = {
             "denoising_unet": unet_grads,
-            "vae": jax.tree_util.tree_map(jnp.zeros_like, params["vae"]),
-            "wav2vec2": jax.tree_util.tree_map(jnp.zeros_like, params["wav2vec2"]),
+            "vae": frozen_grads("vae"),
+            "wav2vec2": frozen_grads("wav2vec2"),
         }
 
-        kps_bwd = self._bwd_of("cond_kps", kps_fn, 1)
-        grads["v_kps_guider"] = kps_bwd(
-            (params["v_kps_guider"], batch["kps_images"], prep["uncond"], prep["kps_keep"]),
-            cots["kps"].astype(kps_feat.dtype),
-        )[0]
+        if train_kps:
+            kps_bwd = self._bwd_of("cond_kps", kps_fn, 1)
+            grads["v_kps_guider"] = kps_bwd(
+                (params["v_kps_guider"], batch["kps_images"], prep["uncond"], prep["kps_keep"]),
+                cots["kps"].astype(kps_feat.dtype),
+            )[0]
+        else:
+            grads["v_kps_guider"] = mask_tree(params["v_kps_guider"], mask["v_kps_guider"])
 
-        audio_bwd = self._bwd_of("cond_audio", audio_fn, 1)
-        grads["audio_projection"] = audio_bwd(
-            (params["audio_projection"], batch["audio_frame_embeddings"], prep["uncond"]),
-            cots["ctx"].astype(tok.dtype),
-        )[0]
+        if train_audio:
+            audio_bwd = self._bwd_of("cond_audio", audio_fn, 1)
+            grads["audio_projection"] = audio_bwd(
+                (params["audio_projection"], batch["audio_frame_embeddings"], prep["uncond"]),
+                cots["ctx"].astype(tok.dtype),
+            )[0]
+        else:
+            grads["audio_projection"] = mask_tree(params["audio_projection"],
+                                                  mask["audio_projection"])
 
-        refs_bwd = self._bwd_of("scale_refs", refs_fn, 1)
-        cot_banks = refs_bwd(
-            (banks, prep["uncond"], prep["ref_keep"]),
-            tuple(c.astype(b_.dtype) for c, b_ in zip(cots["refs"], refs)),
-        )[0]
-        grads["reference_net"] = refnet_bwd(cot_banks)
+        if train_ref:
+            refs_bwd = self._bwd_of("scale_refs", refs_fn, 1)
+            cot_banks = refs_bwd(
+                (banks, prep["uncond"], prep["ref_keep"]),
+                tuple(c.astype(b_.dtype) for c, b_ in zip(cots["refs"], refs)),
+            )[0]
+            grads["reference_net"] = refnet_bwd(cot_banks)
+        else:
+            grads["reference_net"] = mask_tree(params["reference_net"], mask["reference_net"])
 
         return loss, grads
 
     def step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         loss, grads = self.loss_and_grads(state.params, batch, rng)
         if "update" not in self._jits:
+            mask = self.mask
+
             def upd(params, opt_state, grads, step):
-                updates, opt_state = self.tx.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), opt_state, step + 1
+                if mask is not None:
+                    updates, opt_state = self.tx.update(
+                        grads, opt_state, mask_tree(params, mask))
+                    params = apply_updates_masked(params, updates, mask)
+                else:
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                return params, opt_state, step + 1
 
             self._jits["update"] = jax.jit(upd, donate_argnums=(0, 1))
         from ..utils.runtime import with_compile_retries
