@@ -210,7 +210,9 @@ def main():
     max_steps = args.max_steps_override or int(solver["max_train_steps"])
     key = jax.random.PRNGKey(cfg.get("seed", 0))
     ckpt_every = int(cfg.get("checkpointing_steps", 5000))
-    log_every = 10
+    # short (smoke) runs log every step — at log_every=10 a 3-step run would
+    # exit silently after minutes of remote compiles
+    log_every = 10 if max_steps - int(state.step) > 20 else 1
 
     mesh_desc = dict(mesh.shape) if mesh is not None else {"dp": 1}
     print(f"[vexpress] training {cfg['train_stage']} on mesh {mesh_desc}: "

@@ -37,3 +37,30 @@ def test_median_filter_chunked_matches_full():
         full = np.asarray(median_filter_3d(jnp.asarray(video)))
         chunked = np.asarray(median_filter_3d_chunked(jnp.asarray(video), chunk=4))
         np.testing.assert_allclose(chunked, full, atol=1e-6, err_msg=f"f={f}")
+
+
+def test_stream_uint8_matches_full_filter():
+    """The pipelined per-chunk download path (decode tail overlap) must be
+    bit-exact vs. the whole-video filter + uint8 conversion."""
+    import types
+
+    import jax
+
+    from vexpress_tpu.pipelines.pipeline import VExpressPipeline
+
+    obj = types.SimpleNamespace(
+        _to_uint8=jax.jit(
+            lambda v: (jnp.clip(v.astype(jnp.float32), 0, 1) * 255).astype(jnp.uint8)
+        )
+    )
+    rng = np.random.default_rng(0)
+    for f in (2, 5, 32, 33, 71):
+        video = jnp.asarray(rng.uniform(0, 1, (f, 16, 24, 3)).astype(np.float32))
+        ref = np.asarray(
+            (jnp.clip(median_filter_3d(video), 0, 1) * 255).astype(jnp.uint8)
+        )
+        got = VExpressPipeline._stream_uint8(obj, video, True)
+        assert got.shape == ref.shape and (got == ref).all()
+        raw = np.asarray((jnp.clip(video, 0, 1) * 255).astype(jnp.uint8))
+        got_raw = VExpressPipeline._stream_uint8(obj, video, False)
+        assert (got_raw == raw).all()

@@ -31,8 +31,10 @@ def save_train_state(ckpt_dir: str, step: int, state) -> str:
 
     path = pathlib.Path(ckpt_dir).resolve() / f"checkpoint-{step}"
     with ocp.StandardCheckpointer() as ckptr:
+        # overwrite stale dirs from a killed run at the same step — orbax
+        # refuses to save over an existing destination otherwise
         ckptr.save(path, {"params": state.params, "opt_state": state.opt_state,
-                          "step": np.asarray(state.step)})
+                          "step": np.asarray(state.step)}, force=True)
     return str(path)
 
 

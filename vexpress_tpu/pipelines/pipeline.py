@@ -275,11 +275,14 @@ class VExpressPipeline:
                        median_filter: bool = False, as_uint8: bool = False) -> np.ndarray:
         """(L, h, w, 4) -> (L, H, W, 3), chunked over frames.
 
-        The decoded video stays device-resident until one final transfer: the
+        The decoded video stays device-resident until the final transfers: the
         axon tunnel moves ~10 MB/s device->host, so per-chunk fp32 downloads
         (390 MB at 124x512x512) would dominate end-to-end time. The median
         filter (reference save_video's flicker removal) and the uint8
-        conversion therefore run ON DEVICE; `as_uint8` downloads 4x less.
+        conversion therefore run ON DEVICE; `as_uint8` downloads 4x less, in
+        per-chunk transfers started with copy_to_host_async so the download of
+        chunk i overlaps the decode/filter compute of chunks i+1.. (the whole
+        post-denoise tail costs ~max(compute, transfer) instead of their sum).
         Returns float32 in [0, 1] unless as_uint8."""
         outs = []
         n = latents.shape[0]
@@ -292,13 +295,51 @@ class VExpressPipeline:
             else:
                 outs.append(self._decode_chunk(sl))
         video = jnp.concatenate(outs, axis=0)
+
+        if as_uint8:
+            return self._stream_uint8(video, median_filter)
+
         if median_filter:
             from .media import median_filter_3d_chunked
 
             video = median_filter_3d_chunked(video)
-        if as_uint8:
-            return np.asarray(self._to_uint8(video))
         return np.asarray(video, dtype=np.float32)
+
+    def _stream_uint8(self, video: jax.Array, median_filter: bool,
+                      chunk: int = 32) -> np.ndarray:
+        """Device float video -> host uint8, filtered (optionally) and
+        converted per chunk, with every chunk's device->host copy started
+        asynchronously as soon as it is dispatched."""
+        f = video.shape[0]
+        if median_filter and f <= 2:  # degenerate clip: whole-video filter
+            from .media import median_filter_3d
+
+            video = median_filter_3d(video)
+            return np.asarray(self._to_uint8(video))
+
+        host_chunks = []
+        for start in range(0, f, chunk):
+            core = min(chunk, f - start)
+            if median_filter:
+                from .media import _median_core
+
+                # halo indices [start-1, ..., start+chunk] reflected at the
+                # true video boundaries (exact median_filter_3d semantics);
+                # constant length -> every chunk reuses ONE compiled program
+                idx = np.arange(start - 1, start + chunk + 1)
+                idx = np.abs(idx)
+                idx = np.where(idx >= f, 2 * (f - 1) - idx, idx)
+                piece = _median_core(video[jnp.asarray(idx)])
+            else:
+                idx = np.minimum(np.arange(start, start + chunk), f - 1)
+                piece = video[jnp.asarray(idx)]
+            u8 = self._to_uint8(piece)  # full-chunk shape; tail sliced on host
+            try:
+                u8.copy_to_host_async()
+            except Exception:
+                pass  # transfer still happens (blocking) in np.asarray below
+            host_chunks.append((u8, core))
+        return np.concatenate([np.asarray(c)[:core] for c, core in host_chunks], axis=0)
 
     # ---------------------------------------------------------- denoise step
 
