@@ -33,15 +33,20 @@ def main():
     L = H * W
     heads = 8
 
+    # pre-warmed scalar reducer: forces true completion through the axon
+    # tunnel (block_until_ready can return early; np.asarray of the full
+    # output would measure the ~10 MB/s download, not the compute)
+    reduce = jax.jit(lambda x: jnp.mean(jnp.abs(x.astype(jnp.float32))))
+
     def bench(name, init_fn, apply_fn, flops, reps=10):
         params, args = init_fn()
         f = jax.jit(lambda p, *a: apply_fn(p, *a))
         out = f(params, *args)
-        np.asarray(out)  # device_get sync
+        np.asarray(reduce(out))  # warm f and reduce, device_get scalar sync
         t0 = time.time()
         for _ in range(reps):
             out = f(params, *args)
-        np.asarray(out)
+        np.asarray(reduce(out))  # chained on all reps' outputs' last value
         dt_s = (time.time() - t0) / reps
         tf = flops / dt_s / 1e12
         print(f"{name:<34} {dt_s * 1000:8.2f} ms  {tf:7.1f} TF/s  {tf / PEAK_TFLOPS:6.1%} MFU",
