@@ -6,10 +6,13 @@ Wraps jax's fused TPU flash-attention kernel (online softmax in VMEM — no
   spatial self-attn:   Lq = Lk = (latent h*w), head dims 40/80/160
   reference attn1_5:   Lq = frames * h*w (grouped queries), Lk = h*w
 
-Head dims are zero-padded to the 128-lane boundary (exact: zero Q/K columns
-do not change logits; zero V columns produce zero output columns which are
-sliced off). Sequence lengths must be multiples of the 128 block size; the
-caller falls back to chunked XLA attention otherwise (ops.attention.sdpa).
+Head dims run NATIVE (40/80/160) — measured on v5e, zero-padding the head
+dim to the 128-lane boundary is strictly slower (D=40 at L=4096:
+37.0 ms padded vs 30.5 ms native, tools/bench_attn_variants.py): Mosaic
+already lane-pads tiles internally, so explicit padding only adds HBM
+traffic. Set VEXPRESS_FLASH_PAD=128 to restore the old behavior. Sequence
+lengths must be multiples of the 128 block size; the caller falls back to
+chunked XLA attention otherwise (ops.attention.sdpa).
 """
 
 from __future__ import annotations
@@ -24,6 +27,8 @@ import jax.numpy as jnp
 # tuning/bisection knobs (defaults = measured v5e optimum, see below)
 _BQ = int(os.environ.get("VEXPRESS_FLASH_BQ", "1024"))
 _BK = int(os.environ.get("VEXPRESS_FLASH_BK", "1024"))
+# 0 = native head dim (fastest, default); set to 128 to force lane padding
+_DPAD = int(os.environ.get("VEXPRESS_FLASH_PAD", "0"))
 
 
 def flash_supported(lq: int, lk: int) -> bool:
@@ -51,7 +56,9 @@ def flash_sdpa(
 
     qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
 
-    d_pad = -d % 128
+    # sublane alignment only (d is 40/80/160 in practice — already aligned);
+    # zero Q/K columns do not change logits, zero V columns are sliced off
+    d_pad = (-d % _DPAD) if _DPAD else (-d % 8)
     if d_pad:
         pad = ((0, 0), (0, 0), (0, 0), (0, d_pad))
         qh, kh, vh = jnp.pad(qh, pad), jnp.pad(kh, pad), jnp.pad(vh, pad)
