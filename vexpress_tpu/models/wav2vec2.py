@@ -24,6 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..ops.layers import gelu
+
 
 @dataclasses.dataclass(frozen=True)
 class Wav2Vec2Config:
@@ -69,7 +71,7 @@ class FeatureEncoder(nn.Module):
                 # GroupNorm(num_groups=dim) == per-channel instance norm over time
                 h = nn.GroupNorm(num_groups=dim, epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                                  param_dtype=jnp.float32, name=f"conv_layers_{i}_layer_norm")(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = gelu(h)
         return h
 
 
@@ -103,7 +105,7 @@ class EncoderLayer(nn.Module):
         x = ln("layer_norm")(x)
 
         ff = dense(cfg.intermediate_size, "feed_forward_intermediate_dense")(x)
-        ff = jax.nn.gelu(ff, approximate=False)
+        ff = gelu(ff)
         ff = dense(d, "feed_forward_output_dense")(ff)
         x = ln("final_layer_norm")(x + ff)
         return x
@@ -136,7 +138,7 @@ class Wav2Vec2Model(nn.Module):
                       dtype=self.dtype, param_dtype=jnp.float32, name="pos_conv_embed_conv")(h)
         if k % 2 == 0:
             pos = pos[:, :-1, :]
-        pos = jax.nn.gelu(pos, approximate=False)
+        pos = gelu(pos)
         h = h + pos
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, param_dtype=jnp.float32,
                          name="encoder_layer_norm")(h)

@@ -17,6 +17,20 @@ import numpy as np
 from flax import linen as nn
 
 
+def gelu(x: jax.Array) -> jax.Array:
+    """GELU matching torch F.gelu to the working precision.
+
+    In float32 use the exact erf form (bit-parity with the torch reference).
+    In bfloat16 use the tanh approximation: its error (<4e-4 absolute) is
+    below bf16 rounding (~8 mantissa bits), so the result is still correct to
+    working precision — while erf costs 3.1 ms per SD-sized FeedForward on
+    v5e vs 0.6 ms for tanh (tools: /tmp marginal-chain bench, round 2).
+    """
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
+    return jax.nn.gelu(x, approximate=False)
+
+
 class FeedForward(nn.Module):
     """GEGLU feed-forward: proj to 2*inner, gate with exact GELU, project back.
 
@@ -32,7 +46,7 @@ class FeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         h = nn.Dense(inner * 2, dtype=self.dtype, param_dtype=jnp.float32, name="net_0_proj")(x)
         h, gate = jnp.split(h, 2, axis=-1)
-        h = h * jax.nn.gelu(gate, approximate=False)
+        h = h * gelu(gate)
         return nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32, name="net_2")(h)
 
 
@@ -52,7 +66,7 @@ class GeluFeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         return nn.Dense(self.dim, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(x)
 
 
