@@ -29,6 +29,10 @@ _BQ = int(os.environ.get("VEXPRESS_FLASH_BQ", "1024"))
 _BK = int(os.environ.get("VEXPRESS_FLASH_BK", "1024"))
 # 0 = native head dim (fastest, default); set to 128 to force lane padding
 _DPAD = int(os.environ.get("VEXPRESS_FLASH_PAD", "0"))
+# inference-only lean kernel (ops.flash_lite): bf16-exp online softmax.
+# Forward-only — enable in inference processes (cli/infer.py, bench.py);
+# keep off for training (no backward rule).
+_LITE = os.environ.get("VEXPRESS_FLASH_LITE", "0") == "1"
 
 
 def flash_supported(lq: int, lk: int) -> bool:
@@ -55,6 +59,12 @@ def flash_sdpa(
         return t.reshape(b, l, heads, d).transpose(0, 2, 1, 3)  # (B, H, L, D)
 
     qh, kh, vh = split(q, lq), split(k, lk), split(v, lk)
+
+    if _LITE and lq % min(2048, lq) == 0 and lk % min(512, lk) == 0 and d % 8 == 0:
+        from .flash_lite import flash_lite_fwd
+
+        out = flash_lite_fwd(qh, kh, vh, float(scale))
+        return out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
 
     # sublane alignment only (d is 40/80/160 in practice — already aligned);
     # zero Q/K columns do not change logits, zero V columns are sliced off
