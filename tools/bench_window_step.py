@@ -11,6 +11,7 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_window_step.py
 """
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -19,6 +20,7 @@ os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
 
 
 def main():
+    g = int(sys.argv[sys.argv.index("--group") + 1]) if "--group" in sys.argv else 1
     import jax
     import jax.numpy as jnp
 
@@ -52,8 +54,9 @@ def main():
         for l, c in rf_shapes)
 
     group_step, ddim = pipe._build_piecewise_programs(num_steps, guidance_scale)
-    w_idx = jnp.asarray(np.arange(win, dtype=np.int32)[None])        # (1, 24)
-    w_w = jnp.full((1, win), 1.0, jnp.float32)
+    w_idx = jnp.asarray(
+        np.stack([np.arange(win) + i * 20 for i in range(g)]).astype(np.int32))  # (g, 24)
+    w_w = jnp.full((g, win), 1.0, jnp.float32)
     tt = jnp.asarray(999)
     acc = jnp.zeros_like(latents)
     scales = (jnp.asarray(1.0, jnp.bfloat16), jnp.asarray(1.0, jnp.bfloat16))
@@ -76,9 +79,12 @@ def main():
         acc = one(acc)
     np.asarray(reduce(acc))
     step_s = (time.time() - t0) / reps
-    print(f"window group step (unsynced chain): {step_s*1000:.0f} ms", flush=True)
-    est = num_steps * 6 * step_s
+    print(f"window group step g={g} (unsynced chain): {step_s*1000:.0f} ms", flush=True)
+    n_groups = -(-6 // g)
+    est = num_steps * n_groups * step_s
     print(f"=> denoise estimate for 124 frames: {est:.1f}s", flush=True)
+    if g > 1:
+        return
 
     # per-stage attribution (sync overhead ~40ms/stage: relative shares only)
     runner = pipe.piecewise_runner

@@ -47,58 +47,86 @@ def _find_weights_file(directory: str) -> Optional[str]:
     return None
 
 
-def _host_fill(tree_shapes, seed: int = 0) -> Dict[str, Any]:
+def _host_fill(tree_shapes, seed: int = 0, dtype=np.float32) -> Dict[str, Any]:
     """Fill a ShapeDtypeStruct tree with small random host values.
 
     Full-model flax .init() builds enormous device init programs (minutes of
     compile over the axon TPU tunnel); for checkpoint loading we only need the
     tree structure + shapes, so fill on host and overwrite with real weights.
+
+    Every O(params) host pass matters here: the sandbox host sustains only
+    ~0.25 GB/s memcpy and ~5M/s standard_normal, so 2.4B params of per-element
+    fp32 fill + a later dtype cast cost several minutes. Values therefore come
+    from one pre-scaled random pool tiled per leaf at memcpy speed, generated
+    DIRECTLY in the storage dtype (half the bytes for bf16, no second pass).
+    The fill only needs to break symmetry — real checkpoints overwrite it.
     """
     rng = np.random.default_rng(seed)
+    np_dt = np.dtype(dtype)
+    pool = (0.02 * rng.standard_normal(1 << 23)).astype(np_dt)
+    npool = pool.size
+
+    def tiled(size: int, start: int) -> np.ndarray:
+        start %= npool
+        if size <= npool - start:
+            return pool[start : start + size].copy()
+        parts = [pool[start:]]
+        remaining = size - (npool - start)
+        full, rem = divmod(remaining, npool)
+        parts.extend([pool] * full)
+        if rem:
+            parts.append(pool[:rem])
+        return np.concatenate(parts)
 
     def fill(path, leaf):
         shape = tuple(leaf.shape)
         name = getattr(path[-1], "key", "") if path else ""
         if not shape:
-            return np.zeros(shape, np.float32)
+            return np.zeros(shape, np_dt)
         if len(shape) == 1:
             # norm scales must be ones or the whole network collapses to zero
             if name == "scale":
-                return np.ones(shape, np.float32)
-            return np.zeros(shape, np.float32)
-        out = rng.standard_normal(shape, dtype=np.float32)
-        out *= 0.02
-        return out
+                return np.ones(shape, np_dt)
+            return np.zeros(shape, np_dt)
+        size = int(np.prod(shape))
+        return tiled(size, int(rng.integers(npool))).reshape(shape)
 
     return jax.tree_util.tree_map_with_path(fill, tree_shapes)
 
 
-def _init_params(pipe: VExpressPipeline, models: PipelineModels) -> Dict[str, Any]:
-    """Param trees with correct shapes (host-initialized; see _host_fill)."""
-    key = jax.random.PRNGKey(0)
+def _init_params(pipe: VExpressPipeline, models: PipelineModels,
+                 dtype=np.float32) -> Dict[str, Any]:
+    """Param trees with correct shapes (host-initialized; see _host_fill).
+
+    All eval_shape inputs are ShapeDtypeStructs — no device arrays, no tiny
+    remote-compiled zeros programs during startup."""
+    key = jax.ShapeDtypeStruct((2,), jnp.uint32)
     h = w = 64
+    f32 = jnp.float32
     cfg = models.unet_config
     cross = cfg.cross_attention_dim
+    spec = lambda *shape: jax.ShapeDtypeStruct(shape, f32)
     shapes: Dict[str, Any] = {}
-    shapes["vae"] = jax.eval_shape(pipe.vae.init, key, jnp.zeros((1, 8 * h, 8 * w, 3)))
+    shapes["vae"] = jax.eval_shape(pipe.vae.init, key, spec(1, 8 * h, 8 * w, 3))
     shapes["reference_net"] = jax.eval_shape(
-        pipe.reference_net.init, key, jnp.zeros((1, h, w, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 1, cross)),
+        pipe.reference_net.init, key, spec(1, h, w, 4),
+        jax.ShapeDtypeStruct((1,), jnp.int32), spec(1, 1, cross),
     )
     rf_shapes = cfg.ref_feature_shapes(h, w)
-    ref_feats = tuple(jnp.zeros((1, l, c)) for l, c in rf_shapes)
+    ref_feats = tuple(spec(1, l, c) for l, c in rf_shapes)
     shapes["denoising_unet"] = jax.eval_shape(
-        pipe.denoising_unet.init, key, jnp.zeros((1, 1, h, w, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1, 1, 5, cross)), ref_feats,
-        jnp.zeros((1, 1, h, w, cfg.block_out_channels[0])),
+        pipe.denoising_unet.init, key, spec(1, 1, h, w, 4),
+        jax.ShapeDtypeStruct((1,), jnp.int32),
+        spec(1, 1, 5, cross), ref_feats,
+        spec(1, 1, h, w, cfg.block_out_channels[0]),
     )
-    shapes["v_kps_guider"] = jax.eval_shape(pipe.v_kps_guider.init, key, jnp.zeros((1, 1, 8 * h, 8 * w, 3)))
-    shapes["wav2vec2"] = jax.eval_shape(pipe.audio_encoder.init, key, jnp.zeros((1, 16000)))
+    shapes["v_kps_guider"] = jax.eval_shape(pipe.v_kps_guider.init, key, spec(1, 1, 8 * h, 8 * w, 3))
+    shapes["wav2vec2"] = jax.eval_shape(pipe.audio_encoder.init, key, spec(1, 16000))
     shapes["audio_projection"] = jax.eval_shape(
         pipe.audio_projection.init, key,
-        jnp.zeros((1, 10, models.audio_projection_kwargs.get("embedding_dim", 768))),
+        spec(1, 10, models.audio_projection_kwargs.get("embedding_dim", 768)),
     )
-    return {k: _host_fill(v, seed=i) for i, (k, v) in enumerate(shapes.items())}
+    return {k: _host_fill(v, seed=i, dtype=dtype) for i, (k, v) in enumerate(shapes.items())}
 
 
 def _collect_leaves(v, path, out):
@@ -131,11 +159,12 @@ def _merge(dst, src, path="", unconsumed=None):
         else:
             if tuple(dst[k].shape) != tuple(np.shape(v)):
                 raise ValueError(f"shape mismatch at {path}/{k}: {dst[k].shape} vs {np.shape(v)}")
-            # keep host-side: the device upload happens ONCE, batched and
-            # already cast to param_dtype, at the end of load_pipeline
-            # (per-tensor jnp.asarray here uploaded 4.4 GB fp32 through the
-            # ~50 MB/s tunnel — most of the old ~400 s startup)
-            dst[k] = np.asarray(v)
+            # keep host-side and cast straight to the destination's storage
+            # dtype: the device upload happens ONCE at the end of
+            # load_pipeline, and no O(params) fp32 intermediate is ever held
+            # (this host sustains ~0.25-1.5 GB/s memcpy; every full-tree pass
+            # costs tens of seconds)
+            dst[k] = np.asarray(v, dtype=dst[k].dtype)
             n_loaded += 1
     return n_loaded
 
@@ -163,7 +192,8 @@ def load_pipeline(
     """
     models = models or default_pipeline_models()
     pipe = VExpressPipeline(models, params={}, scheduler=scheduler)
-    params = _init_params(pipe, models)
+    params = _init_params(pipe, models,
+                          dtype=np.float32 if param_dtype is None else param_dtype)
 
     def log(msg):
         if verbose:
@@ -228,11 +258,8 @@ def load_pipeline(
     if f:
         load_into("audio_projection", load_torch_checkpoint(f))
 
-    if param_dtype is not None:
-        # cast on HOST before upload: bf16 halves the bytes through the
-        # tunnel, and the device math is identical (bf16-compute modules cast
-        # fp32 params to bf16 at every use anyway)
-        np_dt = np.dtype(param_dtype)
-        params = jax.tree_util.tree_map(lambda a: np.asarray(a, dtype=np_dt), params)
+    # leaves are already in the storage dtype (bf16 halves the bytes through
+    # the ~50 MB/s tunnel; device math is identical — bf16-compute modules
+    # cast params to bf16 at every use anyway); upload once, batched
     pipe.params = jax.device_put(params)
     return pipe
