@@ -263,3 +263,28 @@ def test_pipeline_piecewise_e2e(tiny_pipeline):
     # same math, different program boundaries: XLA fusion noise (~4e-5 after
     # two DDIM steps; single-forward parity is tighter, tested above)
     np.testing.assert_allclose(lat_piece, lat_mono, atol=1e-4, rtol=1e-4)
+
+
+def test_decode_pipelined_uint8_matches_full_filter(tiny_pipeline):
+    """The pipelined decode->filter->download path (decode of chunk i+1
+    enqueued before chunk i's filter + async download) must reproduce the
+    decode-everything-then-filter result exactly."""
+    from vexpress_tpu.pipelines.media import median_filter_3d
+
+    pipe = tiny_pipeline
+    lat = jax.random.normal(jax.random.PRNGKey(7), (11, 8, 8, 4), jnp.float32)
+
+    # reference: full decode, whole-video filter, uint8
+    ref_video = pipe.decode_latents(lat, chunk=4, median_filter=False, as_uint8=False)
+    ref = np.asarray(
+        (jnp.clip(median_filter_3d(jnp.asarray(ref_video)), 0, 1) * 255).astype(jnp.uint8))
+
+    got = pipe.decode_latents(lat, chunk=4, median_filter=True, as_uint8=True)
+    assert got.dtype == np.uint8 and got.shape == ref.shape
+    # uint8 rounding at chunk boundaries can differ by 1 lsb at most
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1, \
+        np.abs(got.astype(int) - ref.astype(int)).max()
+
+    got_raw = pipe.decode_latents(lat, chunk=4, median_filter=False, as_uint8=True)
+    ref_raw = np.asarray((jnp.clip(jnp.asarray(ref_video), 0, 1) * 255).astype(jnp.uint8))
+    assert np.array_equal(got_raw, ref_raw)

@@ -14,6 +14,7 @@ under tests/CPU and for multi-chip shard_map.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Any, Dict, Tuple
 
 import jax
@@ -187,9 +188,11 @@ class PiecewiseUNetRunner:
         kps = None if kps_features is None else kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
         x = self._run("conv_in", conv_in_fn, _top(params, ["conv_in"]), x, kps)
 
+        fuse_tail = os.environ.get("VEXPRESS_FUSE_TAIL", "1") == "1"
+        n_down = 3 if fuse_tail else 4
         skips = [x]
         cursor = 0
-        for i in range(4):
+        for i in range(n_down):
             is_final = i == 3
             n_in = nrefs[f"down_{i}"]
             block = DownBlock(ch[i], has_attention=not is_final, add_downsample=not is_final,
@@ -215,16 +218,44 @@ class PiecewiseUNetRunner:
         mid_refs = tuple(refs[cursor : cursor + 1])
         cursor += 1
 
-        def mid_fn(p, x_, temb_, ctx_, refs_, scales_):
-            return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f,
-                             zero_uncond_kv)
-
-        x = self._run("mid", self._jit(("mid3d", b, f, x.shape, zero_uncond_kv), mid_fn),
-                      _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
-
         rev = list(reversed(ch))
         up_common = dict(common, num_layers=cfg.layers_per_block + 1)
-        for i in range(4):
+
+        if fuse_tail:
+            # down_3 + mid + up_0 all run at the bottleneck resolution (h/8)
+            # and are individually tiny; one program saves two block-boundary
+            # HBM materializations and two dispatches per denoise step
+            down3 = DownBlock(ch[3], has_attention=False, add_downsample=False,
+                              **{**common, **mkw})
+            up0 = UpBlock(rev[0], has_attention=False, add_upsample=True,
+                          **{**up_common, **mkw})
+
+            def tail_fn(p, x_, skip_prev, temb_, ctx_, refs_, scales_):
+                x_, states = down3.apply({"params": p["down"]}, x_, temb_, ctx_,
+                                         RefFeatures([]), scales_, f, zero_uncond_kv)
+                x_ = mid.apply({"params": p["mid"]}, x_, temb_, ctx_,
+                               RefFeatures(list(refs_)), scales_, f, zero_uncond_kv)
+                x_ = up0.apply({"params": p["up"]}, x_, [skip_prev] + list(states),
+                               temb_, ctx_, RefFeatures([]), scales_, f, zero_uncond_kv)
+                return x_
+
+            p_tail = {"down": params["params"]["down_blocks_3"],
+                      "mid": params["params"]["mid_block"],
+                      "up": params["params"]["up_blocks_0"]}
+            fn = self._jit(("tail3d", b, f, x.shape, zero_uncond_kv), tail_fn)
+            skip_prev = skips.pop()
+            x = self._run("tail", fn, p_tail, x, skip_prev, temb, ctx, mid_refs, scales)
+            up_range = range(1, 4)
+        else:
+            def mid_fn(p, x_, temb_, ctx_, refs_, scales_):
+                return mid.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f,
+                                 zero_uncond_kv)
+
+            x = self._run("mid", self._jit(("mid3d", b, f, x.shape, zero_uncond_kv), mid_fn),
+                          _sub(params, "mid_block"), x, temb, ctx, mid_refs, scales)
+            up_range = range(0, 4)
+
+        for i in up_range:
             is_final = i == 3
             n_in = nrefs[f"up_{i}"]
             block = UpBlock(rev[i], has_attention=i != 0, add_upsample=not is_final,

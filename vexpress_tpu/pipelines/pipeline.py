@@ -284,16 +284,59 @@ class VExpressPipeline:
         chunk i overlaps the decode/filter compute of chunks i+1.. (the whole
         post-denoise tail costs ~max(compute, transfer) instead of their sum).
         Returns float32 in [0, 1] unless as_uint8."""
-        outs = []
         n = latents.shape[0]
-        for i in range(0, n, chunk):
-            sl = latents[i : i + chunk]
-            if sl.shape[0] < chunk:  # pad to keep one compiled shape
-                pad = chunk - sl.shape[0]
-                sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
-                outs.append(self._decode_chunk(sl)[: chunk - pad])
+
+        def dec(i):
+            sl = latents[i * chunk : (i + 1) * chunk]
+            core = sl.shape[0]
+            if core < chunk:  # pad to keep one compiled shape
+                sl = jnp.concatenate([sl, jnp.zeros((chunk - core,) + sl.shape[1:], sl.dtype)])
+            return self._decode_chunk(sl), core
+
+        if as_uint8 and not (median_filter and n <= 2):
+            # fully pipelined: decode chunk i+1 is enqueued before chunk i's
+            # filter + uint8 + async download, so the ~10 MB/s tunnel
+            # transfers overlap the remaining decode/filter compute instead
+            # of starting only after the whole video is decoded
+            from .media import _median_core
+
+            def emit(piece, core):
+                u8 = self._to_uint8(piece)
+                try:
+                    u8.copy_to_host_async()
+                except Exception:
+                    pass  # transfer still happens (blocking) in np.asarray
+                return (u8, core)
+
+            host_chunks = []
+            if not median_filter:
+                for i in range(-(-n // chunk)):
+                    cur, core = dec(i)
+                    host_chunks.append(emit(cur, core))
             else:
-                outs.append(self._decode_chunk(sl))
+                prev = None
+                prev_tail = None  # frame just before the previous chunk
+                for i in range(-(-n // chunk)):
+                    cur, core = dec(i)
+                    if prev is not None:
+                        p, _ = prev
+                        left = prev_tail if prev_tail is not None else p[1:2]
+                        piece = jnp.concatenate([left, p, cur[0:1]], axis=0)
+                        host_chunks.append(emit(_median_core(piece), chunk))
+                        prev_tail = p[chunk - 1 : chunk]
+                    prev = (cur, core)
+                # last chunk: reflect the right halo at the true video end
+                p, core = prev
+                left = prev_tail if prev_tail is not None else p[1:2]
+                right = p[core - 2 : core - 1]
+                piece = jnp.concatenate([left, p[:core], right], axis=0)
+                host_chunks.append(emit(_median_core(piece), core))
+            return np.concatenate([np.asarray(c)[:core] for c, core in host_chunks], axis=0)
+
+        outs = []
+        for i in range(-(-n // chunk)):
+            cur, core = dec(i)
+            outs.append(cur if core == chunk else cur[:core])
         video = jnp.concatenate(outs, axis=0)
 
         if as_uint8:
