@@ -288,3 +288,27 @@ def test_decode_pipelined_uint8_matches_full_filter(tiny_pipeline):
     got_raw = pipe.decode_latents(lat, chunk=4, median_filter=False, as_uint8=True)
     ref_raw = np.asarray((jnp.clip(jnp.asarray(ref_video), 0, 1) * 255).astype(jnp.uint8))
     assert np.array_equal(got_raw, ref_raw)
+
+
+def test_piecewise_fused_tail_matches_unfused(tiny_pipeline, monkeypatch):
+    """VEXPRESS_FUSE_TAIL merges down_3+mid+up_0 into one program; outputs
+    must match the unfused per-block execution exactly (same params, same
+    math, only program boundaries differ)."""
+    from vexpress_tpu.models.piecewise import PiecewiseUNetRunner
+
+    cfg = tiny_pipeline.m.unet_config
+    rng = np.random.default_rng(9)
+    B, F, h, w = 2, 3, 8, 8
+    shapes = cfg.ref_feature_shapes(h, w)
+    ref_feats = tuple(jnp.asarray(rng.normal(size=(B, l, c)).astype(np.float32)) for l, c in shapes)
+    sample = jnp.asarray(rng.normal(size=(B, F, h, w, 4)).astype(np.float32))
+    t = jnp.asarray([10, 500])
+    audio = jnp.asarray(rng.normal(size=(B, F, 5, 12)).astype(np.float32))
+    kps = jnp.asarray(rng.normal(size=(B, F, h, w, 8)).astype(np.float32))
+    params = tiny_pipeline.params["denoising_unet"]
+
+    monkeypatch.setenv("VEXPRESS_FUSE_TAIL", "1")
+    fused = PiecewiseUNetRunner(cfg).unet3d(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    monkeypatch.setenv("VEXPRESS_FUSE_TAIL", "0")
+    unfused = PiecewiseUNetRunner(cfg).unet3d(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-6, rtol=1e-6)
