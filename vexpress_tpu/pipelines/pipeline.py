@@ -291,7 +291,7 @@ class VExpressPipeline:
             core = sl.shape[0]
             if core < chunk:  # pad to keep one compiled shape
                 sl = jnp.concatenate([sl, jnp.zeros((chunk - core,) + sl.shape[1:], sl.dtype)])
-            return self._decode_chunk(sl), core
+            return with_compile_retries(self._decode_chunk, sl, label="vae decode"), core
 
         if as_uint8 and not (median_filter and n <= 2):
             # fully pipelined: decode chunk i+1 is enqueued before chunk i's
