@@ -9,7 +9,6 @@ state, orbax full-state checkpoints + per-module torch-compatible exports.
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -70,7 +69,6 @@ def main():
 
     enable_compilation_cache()
 
-    from vexpress_tpu.diffusion.ddim import DDIMScheduler
     from vexpress_tpu.io.checkpoints import (
         export_modules,
         latest_checkpoint,

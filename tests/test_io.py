@@ -4,7 +4,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import pytest
 import torch
 
 from vexpress_tpu.io.torch_export import (

@@ -5,7 +5,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
-import pytest
 
 from vexpress_tpu.diffusion.ddim import DDIMScheduler
 from vexpress_tpu.parallel.mesh import (

@@ -8,7 +8,6 @@ reference tree is absent."""
 
 import importlib.util
 import os
-import sys
 
 import numpy as np
 import pytest
@@ -63,7 +62,7 @@ def test_retarget_matches_reference_geometry():
     """pipelines/utils.py retarget math is numpy+math only below the torch
     imports; replicate via the documented formulas on random inputs against
     our implementation's invariants."""
-    from vexpress_tpu.pipelines.kps import compute_ratio, get_rescale_params, retarget_kps
+    from vexpress_tpu.pipelines.kps import retarget_kps
 
     rng = np.random.default_rng(1)
     ref_kps = rng.uniform(100, 400, (3, 2))

@@ -29,7 +29,6 @@ def main():
     enable_compilation_cache()
 
     from vexpress_tpu.io.loaders import default_pipeline_models, load_pipeline
-    from vexpress_tpu.pipelines.context import compute_context_windows
 
     height = width = 512
     num_steps, guidance_scale = 25, 3.5

@@ -13,7 +13,6 @@ import os
 import pathlib
 from typing import Any, Optional
 
-import jax
 import numpy as np
 
 from .torch_export import export_to_torch_state_dict, filter_motion_module, save_torch_checkpoint

@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from ..ops.attention import Attention
 from ..ops.layers import FeedForward, get_sinusoidal_positional_encoding
-from .blocks import conv, group_norm
+from .blocks import group_norm
 
 
 class TemporalTransformerBlock(nn.Module):

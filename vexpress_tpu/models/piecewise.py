@@ -13,9 +13,8 @@ under tests/CPU and for multi-chip shard_map.
 
 from __future__ import annotations
 
-import functools
 import os
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

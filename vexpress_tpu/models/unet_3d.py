@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from ..ops.layers import TimestepEmbedding, get_timestep_embedding
 from .blocks import conv, group_norm
-from .unet_blocks import DownBlock, MidBlock, RefFeatures, UpBlock
+from .unet_blocks import DownBlock, MidBlock, UpBlock
 
 
 @dataclasses.dataclass(frozen=True)

@@ -12,7 +12,7 @@ stable sort by hidden dim produces for two structurally identical UNets
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ Three first-class components (SURVEY.md §2.4):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

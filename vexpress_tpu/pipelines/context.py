@@ -14,7 +14,6 @@ weights are a precomputed gather table.
 
 from __future__ import annotations
 
-import math
 from typing import List, Tuple
 
 import numpy as np

@@ -8,7 +8,7 @@ hot path — so numpy + cv2 is the right tool.
 from __future__ import annotations
 
 import math
-from typing import List, Sequence
+from typing import Sequence
 
 import cv2
 import numpy as np

@@ -24,7 +24,7 @@ Drop-in optax GradientTransformation: composes with clip/masked/MultiSteps.
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Union
+from typing import Any, Callable, NamedTuple, Union
 
 import jax
 import jax.numpy as jnp
