@@ -312,3 +312,26 @@ def test_piecewise_fused_tail_matches_unfused(tiny_pipeline, monkeypatch):
     monkeypatch.setenv("VEXPRESS_FUSE_TAIL", "0")
     unfused = PiecewiseUNetRunner(cfg).unet3d(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(unfused), atol=1e-6, rtol=1e-6)
+
+
+def test_length_bucketing_is_exact(tiny_pipeline):
+    """shape_bucketing pads the latent/conditioning buffers to a frame bucket
+    so the L-shaped glue programs (gather/scatter/DDIM) are reused across clip
+    lengths. The window schedule stays on the true length, so the result must
+    be identical to the unbucketed run."""
+    rng = np.random.default_rng(11)
+    H = W = 64
+    L = 9  # pads to 32
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4800,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, return_latents=True,
+        piecewise=False,
+    )
+    lat_plain = tiny_pipeline(shape_bucketing=False, **kwargs)
+    lat_bucketed = tiny_pipeline(shape_bucketing=True, **kwargs)
+    assert lat_bucketed.shape[0] == L
+    np.testing.assert_allclose(lat_bucketed, lat_plain, atol=1e-5, rtol=1e-5)

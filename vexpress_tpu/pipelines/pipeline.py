@@ -690,6 +690,27 @@ class VExpressPipeline:
         latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
         latents = latents * self.scheduler.init_noise_sigma
 
+        # length bucketing for the L-shaped glue programs (gather, scatter-add,
+        # DDIM): pad the latent/conditioning buffers up to a frame bucket so a
+        # new clip duration reuses the compiled programs (remote compiles cost
+        # minutes; SURVEY §7 static shapes). Exact: the window schedule and
+        # blend weights are computed on the TRUE length, windows only index
+        # frames < video_length, the DDIM update is elementwise (pad frames
+        # stay zero), and the pad is sliced off before decode.
+        l_pad = 0
+        if shape_bucketing and mode == "streamed":
+            bucket = 32
+            l_pad = -(-video_length // bucket) * bucket - video_length
+            if l_pad:
+                def pad_frames(x):
+                    return jnp.concatenate(
+                        [x, jnp.zeros((l_pad,) + x.shape[1:], x.dtype)], axis=0)
+
+                latents = pad_frames(latents)
+                audio_tok = pad_frames(audio_tok)
+                if kps_feat is not None:
+                    kps_feat = pad_frames(kps_feat)
+
         ref_scale = jnp.asarray(reference_attention_weight, dt)
         audio_scale = jnp.asarray(audio_attention_weight, dt)
         timesteps = self.scheduler.timesteps(num_inference_steps)
@@ -702,6 +723,8 @@ class VExpressPipeline:
                 ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
                 progress_callback, piecewise=piecewise, save_memory=save_memory,
             )
+            if l_pad:
+                latents = latents[:video_length]
         elif mode == "fused":
             cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
                          float(guidance_scale), window_group)
