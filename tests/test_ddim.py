@@ -96,3 +96,44 @@ def test_snr():
     snr = np.asarray(s.snr(t))
     a = s.alphas_cumprod[np.asarray(t)]
     np.testing.assert_allclose(snr, a / (1 - a), rtol=1e-5)
+
+
+def test_eta_stochastic_step():
+    """eta>0 (stochastic DDIM, Song et al. eq. 12): variance of prev_sample
+    around the deterministic direction equals sigma_t^2; eta=0 unchanged."""
+    import jax
+
+    sched = DDIMScheduler(prediction_type="epsilon", rescale_betas_zero_snr=False)
+    n_steps = 10
+    t = int(sched.timesteps(n_steps)[3])
+    x = jnp.ones((2, 4, 4, 1), jnp.float32) * 0.3
+    eps = jnp.ones_like(x) * 0.1
+
+    det = sched.step(eps, t, x, n_steps)
+
+    # expected sigma_t
+    a_t = float(sched.alphas_cumprod[t])
+    t_prev = t - sched.config.num_train_timesteps // n_steps
+    a_prev = float(sched.alphas_cumprod[t_prev]) if t_prev >= 0 else float(sched.final_alpha_cumprod)
+    var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    eta = 0.7
+    sigma = eta * np.sqrt(var)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 256)
+    outs = np.stack([np.asarray(sched.step(eps, t, x, n_steps, eta=eta, noise_key=k))
+                     for k in keys])
+    std = outs.std(axis=0).mean()
+    assert abs(std - sigma) / sigma < 0.15, (std, sigma)
+
+    # the mean drifts from the eta=0 output only via the shrunk direction coeff
+    expected_dir = np.sqrt(max(1 - a_prev - sigma**2, 0.0))
+    manual_mean = (np.sqrt(a_prev) * np.asarray((x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t))
+                   + expected_dir * np.asarray(eps))
+    # mean of 256 draws fluctuates with std sigma/16; allow 5 of those
+    np.testing.assert_allclose(outs.mean(axis=0), manual_mean, atol=5 * sigma / 16)
+
+    # eta requires a key
+    import pytest
+    with pytest.raises(ValueError):
+        sched.step(eps, t, x, n_steps, eta=eta)
+    assert np.isfinite(np.asarray(det)).all()

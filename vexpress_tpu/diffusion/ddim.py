@@ -122,14 +122,18 @@ class DDIMScheduler:
         sample: jax.Array,
         num_inference_steps: int,
         eta: float = 0.0,
+        noise_key: Optional[jax.Array] = None,
     ) -> jax.Array:
-        """One deterministic DDIM step (eta=0). `timestep` may be traced.
+        """One DDIM step. `timestep` may be traced.
 
-        Returns prev_sample. Math follows diffusers DDIMScheduler.step with
-        clip_sample=False, thresholding off.
+        eta=0 (the reference's inference setting) is deterministic; eta>0 adds
+        the DDIM paper's (Song et al. 2020, eq. 12) stochastic term with
+        sigma_t = eta * sqrt((1-a_prev)/(1-a_t)) * sqrt(1 - a_t/a_prev) and
+        requires `noise_key`. Returns prev_sample. Math follows diffusers
+        DDIMScheduler.step with clip_sample=False, thresholding off.
         """
-        if eta != 0.0:
-            raise NotImplementedError("eta != 0 not supported (reference uses eta=0)")
+        if eta != 0.0 and noise_key is None:
+            raise ValueError("eta > 0 requires a noise_key (stochastic DDIM)")
         cfg = self.config
         timestep = jnp.asarray(timestep).astype(jnp.int32)
         prev_timestep = timestep - cfg.num_train_timesteps // num_inference_steps
@@ -163,7 +167,18 @@ class DDIMScheduler:
         if cfg.clip_sample:
             pred_x0 = jnp.clip(pred_x0, -1.0, 1.0)
 
-        prev_sample = jnp.sqrt(alpha_prod_prev) * pred_x0 + jnp.sqrt(1.0 - alpha_prod_prev) * pred_eps
+        if eta == 0.0:
+            prev_sample = (jnp.sqrt(alpha_prod_prev) * pred_x0
+                           + jnp.sqrt(1.0 - alpha_prod_prev) * pred_eps)
+        else:
+            # sigma_t per DDIM eq. 12 (equals diffusers _get_variance**0.5 * eta)
+            variance = ((1.0 - alpha_prod_prev) / jnp.maximum(beta_prod_t, 1e-20)
+                        * (1.0 - alpha_prod_t / alpha_prod_prev))
+            sigma = eta * jnp.sqrt(jnp.maximum(variance, 0.0))
+            dir_coeff = jnp.sqrt(jnp.maximum(1.0 - alpha_prod_prev - sigma**2, 0.0))
+            noise = jax.random.normal(noise_key, sample32.shape, jnp.float32)
+            prev_sample = (jnp.sqrt(alpha_prod_prev) * pred_x0
+                           + dir_coeff * pred_eps + sigma * noise)
         return prev_sample.astype(dtype)
 
     # --------------------------------------------------------------- training
