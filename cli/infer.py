@@ -77,6 +77,16 @@ def parse_args():
                    help="capture a jax.profiler device trace of the denoise loop "
                         "into this directory (view with xprof/TensorBoard)")
     p.add_argument("--no_median_filter", action="store_true")
+    p.add_argument("--audio_embeddings_type", type=str, default="global",
+                   help="{global} (matches the reference's only supported mode, "
+                        "inference.py:59,164-169)")
+    p.add_argument("--unet_config_path", type=str, default="",
+                   help="optional diffusers UNet config.json; overrides the "
+                        "built-in SD1.5 geometry (reference inference.py:30)")
+    # accepted for drop-in compatibility with the reference CLI; devices are
+    # managed by JAX/XLA on TPU
+    p.add_argument("--device", type=str, default="", help="ignored (JAX manages devices)")
+    p.add_argument("--gpu_id", type=int, default=0, help="ignored (JAX manages devices)")
     p.add_argument("--save_gpu_memory", action="store_true",
                    help="keep the O(video_length) kps conditioning on host and "
                         "ship one window group at a time (long videos; the "
@@ -124,8 +134,20 @@ def main():
     from vexpress_tpu.pipelines.media import load_image_rgb, save_video
     from vexpress_tpu.utils.media_native import load_audio
 
+    if args.audio_embeddings_type != "global":
+        raise ValueError(
+            f"Do not support audio_embeddings_type={args.audio_embeddings_type!r}; "
+            "only 'global' is supported (matches reference inference.py:164-169)")
+
     dtype = {"bf16": jnp.bfloat16, "fp32": jnp.float32}[args.dtype]
     models = default_pipeline_models(dtype=dtype)
+    if args.unet_config_path:
+        import dataclasses as _dc
+
+        from vexpress_tpu.models.unet_3d import UNetConfig
+
+        models = _dc.replace(
+            models, unet_config=UNetConfig.from_diffusers_json(args.unet_config_path))
 
     pipeline = load_pipeline(
         models=models,

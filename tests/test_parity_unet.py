@@ -173,3 +173,23 @@ def test_audio_projection_parity():
                         embedding_dim=12, output_dim=12, ff_mult=2, max_seq_len=10)
     out = m.apply(flax_params_from_torch(o), jnp.asarray(x.numpy()))
     assert_close(out, ref.numpy(), atol=1e-5, rtol=1e-5)
+
+
+def test_unet_config_from_diffusers_json(tmp_path):
+    # a real SD1.5 UNet config.json shape (reference inference.py:30,77-90)
+    cfg = {
+        "in_channels": 4, "out_channels": 4,
+        "block_out_channels": [320, 640, 1280, 1280],
+        "layers_per_block": 2, "attention_head_dim": 8,
+        "cross_attention_dim": 768, "norm_num_groups": 32, "norm_eps": 1e-5,
+        "flip_sin_to_cos": True, "freq_shift": 0,
+        "sample_size": 64, "act_fn": "silu",  # extra keys must be ignored
+    }
+    p = tmp_path / "config.json"
+    p.write_text(__import__("json").dumps(cfg))
+    c = UNetConfig.from_diffusers_json(str(p))
+    assert c.block_out_channels == (320, 640, 1280, 1280)
+    assert c.cross_attention_dim == 768 and c.attention_head_dim == 8
+    assert c == UNetConfig.from_diffusers_json(str(p))  # deterministic
+    # overrides win over file values
+    assert UNetConfig.from_diffusers_json(str(p), cross_attention_dim=32).cross_attention_dim == 32

@@ -54,6 +54,31 @@ class UNetConfig:
     # unet_3d_blocks.py:411-435). The piecewise trainer gets this for free.
     gradient_checkpointing: bool = False
 
+    @classmethod
+    def from_diffusers_json(cls, path: str, **overrides) -> "UNetConfig":
+        """Build from a diffusers UNet2DConditionModel config.json (the
+        reference's --unet_config_path, inference.py:30,77-90). Only geometry
+        fields are read; V-Express additional kwargs come from `overrides`."""
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        kw = {}
+        for src, dst in [
+            ("in_channels", "in_channels"), ("out_channels", "out_channels"),
+            ("block_out_channels", "block_out_channels"),
+            ("layers_per_block", "layers_per_block"),
+            ("attention_head_dim", "attention_head_dim"),
+            ("cross_attention_dim", "cross_attention_dim"),
+            ("norm_num_groups", "norm_num_groups"), ("norm_eps", "norm_eps"),
+            ("flip_sin_to_cos", "flip_sin_to_cos"), ("freq_shift", "freq_shift"),
+        ]:
+            if src in d:
+                v = d[src]
+                kw[dst] = tuple(v) if isinstance(v, list) else v
+        kw.update(overrides)
+        return cls(**kw)
+
     @property
     def num_ref_features(self) -> int:
         """Number of bank features = number of cross-attn transformer blocks."""
