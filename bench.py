@@ -30,8 +30,42 @@ os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
 BASELINE_FPS = 0.36
 
 
+def _require_live_backend(timeout_s: float = 180.0):
+    """Fail fast (instead of hanging forever) if the TPU tunnel is dead.
+
+    jax.devices() blocks indefinitely when the axon relay process has died
+    (see CLAUDE.md: the relay cannot be restarted from inside the sandbox).
+    Probe backend discovery on a daemon thread with a deadline so the driver
+    records a diagnostic JSON error line rather than stalling the round.
+    """
+    import threading
+
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = [str(d) for d in jax.devices()]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        print(json.dumps({
+            "metric": "frames_per_sec_512x512_25step_e2e",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": f"backend init did not return within {timeout_s:.0f}s "
+                     "(TPU tunnel relay likely dead; see CLAUDE.md)",
+        }))
+        os._exit(1)
+
+
 def main():
     quick = "--quick" in sys.argv
+
+    _require_live_backend()
 
     import jax
     import jax.numpy as jnp

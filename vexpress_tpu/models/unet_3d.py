@@ -76,6 +76,11 @@ class UNetConfig:
             if src in d:
                 v = d[src]
                 kw[dst] = tuple(v) if isinstance(v, list) else v
+        if isinstance(kw.get("attention_head_dim"), tuple):
+            raise ValueError(
+                "per-block attention_head_dim lists (SDXL-style configs) are "
+                "not supported; V-Express uses the SD1.5 UNet geometry "
+                "(uniform attention_head_dim, reference inference.py:30)")
         kw.update(overrides)
         return cls(**kw)
 
