@@ -135,3 +135,27 @@ def test_make_optimizer_8bit_wiring():
     s = tx.init(params)
     leaves = jax.tree_util.tree_leaves(s)
     assert any(getattr(l, "dtype", None) == jnp.int8 for l in leaves), "no int8 state found"
+
+
+def test_lr_schedule_alignment_matches_adamw():
+    """With a callable lr schedule and quantization disabled (tiny leaves stay
+    fp32), adam8bit must be a bit-for-bit drop-in for optax.adamw — including
+    the schedule lookup step index (regression: lr was read at count+1,
+    shifting every step to the next schedule value)."""
+    schedule = optax.linear_schedule(init_value=1e-2, end_value=1e-4, transition_steps=5)
+    tx_ref = optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2)
+    tx_q = adam8bit(schedule, b1=0.9, b2=0.999, eps=1e-8, weight_decay=1e-2,
+                    min_quant_size=10**9)
+
+    rs = np.random.RandomState(3)
+    p_ref = p_q = {"w": jnp.asarray(rs.randn(4, 6).astype(np.float32))}
+    s_ref, s_q = tx_ref.init(p_ref), tx_q.init(p_q)
+    for step in range(8):
+        g = {"w": jnp.asarray(rs.randn(4, 6).astype(np.float32))}
+        u_ref, s_ref = tx_ref.update(g, s_ref, p_ref)
+        u_q, s_q = tx_q.update(g, s_q, p_q)
+        p_ref = optax.apply_updates(p_ref, u_ref)
+        p_q = optax.apply_updates(p_q, u_q)
+        np.testing.assert_allclose(
+            np.asarray(u_q["w"]), np.asarray(u_ref["w"]), atol=1e-7, rtol=1e-6,
+            err_msg=f"step {step}")

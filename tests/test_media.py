@@ -39,9 +39,12 @@ def test_median_filter_chunked_matches_full():
         np.testing.assert_allclose(chunked, full, atol=1e-6, err_msg=f"f={f}")
 
 
-def test_stream_uint8_matches_full_filter():
-    """The pipelined per-chunk download path (decode tail overlap) must be
-    bit-exact vs. the whole-video filter + uint8 conversion."""
+def test_decode_latents_pipelined_filter_every_tail_length():
+    """The pipelined decode->filter->uint8 path must be bit-exact vs. the
+    whole-video filter for EVERY video_length % chunk, including the core==1
+    tail (regression: a positional right-halo slice p[core-2:core-1] is empty
+    when the last chunk holds a single frame, silently dropping it) and
+    core==chunk. Identity 'decode' isolates the halo/indexing logic."""
     import types
 
     import jax
@@ -49,18 +52,24 @@ def test_stream_uint8_matches_full_filter():
     from vexpress_tpu.pipelines.pipeline import VExpressPipeline
 
     obj = types.SimpleNamespace(
+        _decode_chunk=lambda sl: sl,
         _to_uint8=jax.jit(
             lambda v: (jnp.clip(v.astype(jnp.float32), 0, 1) * 255).astype(jnp.uint8)
-        )
+        ),
     )
     rng = np.random.default_rng(0)
-    for f in (2, 5, 32, 33, 71):
+    for f in (2, 3, 4, 5, 8, 9, 12, 13):  # cores 1..chunk, single/multi chunk
         video = jnp.asarray(rng.uniform(0, 1, (f, 16, 24, 3)).astype(np.float32))
         ref = np.asarray(
-            (jnp.clip(median_filter_3d(video), 0, 1) * 255).astype(jnp.uint8)
+            (jnp.clip(median_filter_3d(video), 0, 1) * 255).astype(np.uint8)
         )
-        got = VExpressPipeline._stream_uint8(obj, video, True)
-        assert got.shape == ref.shape and (got == ref).all()
-        raw = np.asarray((jnp.clip(video, 0, 1) * 255).astype(jnp.uint8))
-        got_raw = VExpressPipeline._stream_uint8(obj, video, False)
-        assert (got_raw == raw).all()
+        got = VExpressPipeline.decode_latents(
+            obj, video, chunk=4, median_filter=True, as_uint8=True
+        )
+        assert got.shape == ref.shape, (f, got.shape, ref.shape)
+        assert (got == ref).all(), f
+        raw = np.asarray((jnp.clip(video, 0, 1) * 255).astype(np.uint8))
+        got_raw = VExpressPipeline.decode_latents(
+            obj, video, chunk=4, median_filter=False, as_uint8=True
+        )
+        assert (got_raw == raw).all(), f

@@ -241,7 +241,10 @@ class VExpressPipeline:
         bucket = max(int(bucket_s * sample_rate), 1)
         t_pad = -(-t_true // bucket) * bucket
         wf = np.asarray(waveform, np.float32)
-        wf = (wf - wf.mean()) / np.sqrt(wf.var() + 1e-7)
+        if self.m.wav2vec2_config.do_normalize:
+            # host-side analog of models.wav2vec2.normalize_waveform, using the
+            # TRUE waveform's statistics (before the wrap pad below)
+            wf = (wf - wf.mean()) / np.sqrt(wf.var() + 1e-7)
         if t_pad > t_true:
             reps = -(-t_pad // t_true)
             wf = np.tile(wf, reps)[:t_pad]
@@ -325,11 +328,24 @@ class VExpressPipeline:
                         host_chunks.append(emit(_median_core(piece), chunk))
                         prev_tail = p[chunk - 1 : chunk]
                     prev = (cur, core)
-                # last chunk: reflect the right halo at the true video end
+                # last chunk: constant-shape reflected halo (exact
+                # median_filter_3d index semantics). The reflected end frame
+                # reflect(n) = n-2 lives in the PREVIOUS chunk when core == 1,
+                # so a positional slice p[core-2:core-1] would be empty there
+                # (silently dropping the last frame); gathering through a
+                # host-computed index vector of fixed length chunk+2 handles
+                # every core in [1, chunk] and keeps ONE compiled program per
+                # chunk size regardless of video_length % chunk.
                 p, core = prev
                 left = prev_tail if prev_tail is not None else p[1:2]
-                right = p[core - 2 : core - 1]
-                piece = jnp.concatenate([left, p[:core], right], axis=0)
+                stacked = jnp.concatenate([left, p], axis=0)  # (chunk+1, ...)
+                start = n - core  # global index of p[0]
+                g = np.arange(start - 1, start + chunk + 1)
+                g = np.abs(g)  # reflect at the clip start
+                g = np.where(g >= n, 2 * (n - 1) - g, g)  # reflect at the end
+                g = np.clip(g, 0, n - 1)
+                local = np.clip(g - (start - 1), 0, chunk)  # discarded tail stays in-bounds
+                piece = stacked[jnp.asarray(local)]
                 host_chunks.append(emit(_median_core(piece), core))
             return np.concatenate([np.asarray(c)[:core] for c, core in host_chunks], axis=0)
 
@@ -340,49 +356,18 @@ class VExpressPipeline:
         video = jnp.concatenate(outs, axis=0)
 
         if as_uint8:
-            return self._stream_uint8(video, median_filter)
+            # only the degenerate filtered n<=2 clip reaches here (the guard
+            # above routes every other as_uint8 case through the pipelined
+            # branch): whole-video filter, one uint8 download
+            from .media import median_filter_3d
+
+            return np.asarray(self._to_uint8(median_filter_3d(video)))
 
         if median_filter:
             from .media import median_filter_3d_chunked
 
             video = median_filter_3d_chunked(video)
         return np.asarray(video, dtype=np.float32)
-
-    def _stream_uint8(self, video: jax.Array, median_filter: bool,
-                      chunk: int = 32) -> np.ndarray:
-        """Device float video -> host uint8, filtered (optionally) and
-        converted per chunk, with every chunk's device->host copy started
-        asynchronously as soon as it is dispatched."""
-        f = video.shape[0]
-        if median_filter and f <= 2:  # degenerate clip: whole-video filter
-            from .media import median_filter_3d
-
-            video = median_filter_3d(video)
-            return np.asarray(self._to_uint8(video))
-
-        host_chunks = []
-        for start in range(0, f, chunk):
-            core = min(chunk, f - start)
-            if median_filter:
-                from .media import _median_core
-
-                # halo indices [start-1, ..., start+chunk] reflected at the
-                # true video boundaries (exact median_filter_3d semantics);
-                # constant length -> every chunk reuses ONE compiled program
-                idx = np.arange(start - 1, start + chunk + 1)
-                idx = np.abs(idx)
-                idx = np.where(idx >= f, 2 * (f - 1) - idx, idx)
-                piece = _median_core(video[jnp.asarray(idx)])
-            else:
-                idx = np.minimum(np.arange(start, start + chunk), f - 1)
-                piece = video[jnp.asarray(idx)]
-            u8 = self._to_uint8(piece)  # full-chunk shape; tail sliced on host
-            try:
-                u8.copy_to_host_async()
-            except Exception:
-                pass  # transfer still happens (blocking) in np.asarray below
-            host_chunks.append((u8, core))
-        return np.concatenate([np.asarray(c)[:core] for c, core in host_chunks], axis=0)
 
     # ---------------------------------------------------------- denoise step
 

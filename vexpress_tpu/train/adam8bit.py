@@ -142,7 +142,9 @@ def adam8bit(
         if params is None:
             raise ValueError("adam8bit requires params (decoupled weight decay)")
         count = state.count + 1
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # optax.adamw looks the schedule up at the PRE-increment count (first
+        # step uses schedule(0)); bias correction uses the incremented count
+        lr = learning_rate(state.count) if callable(learning_rate) else learning_rate
         c1 = 1.0 - b1 ** count.astype(jnp.float32)
         c2 = 1.0 - b2 ** count.astype(jnp.float32)
 

@@ -56,6 +56,15 @@ def with_compile_retries(fn, *args, retries: int = 3, wait_s: float = 15.0, labe
             ))
             if not transient:
                 raise
+            # Donation safety: if fn donated input buffers and the failure
+            # happened after dispatch (execution/transport, not compile), the
+            # inputs are already consumed — a retry would replay with deleted
+            # arrays. Re-raise the original error instead.
+            if any(
+                getattr(leaf, "is_deleted", lambda: False)()
+                for leaf in jax.tree_util.tree_leaves(args)
+            ):
+                raise
             print(f"[vexpress] transient compile failure{f' in {label}' if label else ''} "
                   f"(attempt {attempt + 1}/{retries}): {msg[:120]}", flush=True)
             time.sleep(wait_s)
