@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--profile_dir", type=str, default="",
                         help="capture a jax.profiler device trace of steps 2-4 "
                              "(post-compile) into this directory")
+    parser.add_argument("--device", type=str, default="auto", choices=["auto", "cpu", "tpu"],
+                        help="compute platform; cpu forces the host backend (the "
+                             "JAX_PLATFORMS env var alone is overridden by TPU plugins)")
     # multi-host launch (the accelerate --num_machines/--machine_rank/
     # --main_process_ip analog, reference train_stage.sh:23)
     parser.add_argument("--coordinator_address", type=str, default="",
@@ -53,6 +56,9 @@ def main():
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if args.device != "auto":
+        jax.config.update("jax_platforms", args.device)
 
     if args.coordinator_address or args.num_processes > 0:
         from vexpress_tpu.parallel.mesh import initialize_distributed
@@ -88,6 +94,30 @@ def main():
 
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     models = default_pipeline_models(dtype=dtype)
+
+    # optional per-module size overrides (smoke tests, research variants):
+    # model_overrides: {unet: {...}, vae: {...}, wav2vec2: {...},
+    #                   audio_projection: {...}, guider: {...}}
+    overrides = cfg.get("model_overrides") or {}
+    if overrides:
+        import dataclasses as _dc
+
+        def _tup(d):
+            return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+        for section, field, is_cfg in (
+            ("unet", "unet_config", True),
+            ("vae", "vae_config", True),
+            ("wav2vec2", "wav2vec2_config", True),
+            ("audio_projection", "audio_projection_kwargs", False),
+            ("guider", "guider_kwargs", False),
+        ):
+            if section in overrides:
+                cur = getattr(models, field)
+                new = (_dc.replace(cur, **_tup(overrides[section])) if is_cfg
+                       else {**cur, **_tup(overrides[section])})
+                models = _dc.replace(models, **{field: new})
+
     if solver.get("denoising_unet_gradient_checkpointing", False):
         # reference train.py:448-451: per-block activation recompute
         import dataclasses as _dc
