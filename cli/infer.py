@@ -83,9 +83,15 @@ def parse_args():
     p.add_argument("--unet_config_path", type=str, default="",
                    help="optional diffusers UNet config.json; overrides the "
                         "built-in SD1.5 geometry (reference inference.py:30)")
-    # accepted for drop-in compatibility with the reference CLI; devices are
-    # managed by JAX/XLA on TPU
-    p.add_argument("--device", type=str, default="", help="ignored (JAX manages devices)")
+    p.add_argument("--model_overrides_path", type=str, default="",
+                   help="optional YAML of per-module size overrides "
+                        "({unet:, vae:, wav2vec2:, audio_projection:, guider:}; "
+                        "same schema as train.py's model_overrides section)")
+    # reference CLI takes --device {cuda, cpu} (inference.py:44); 'cpu' forces
+    # the host backend here, anything else defers to JAX/XLA device management
+    p.add_argument("--device", type=str, default="",
+                   help="'cpu' forces the host backend; other values are "
+                        "ignored (JAX manages devices)")
     p.add_argument("--gpu_id", type=int, default=0, help="ignored (JAX manages devices)")
     p.add_argument("--save_gpu_memory", action="store_true",
                    help="keep the O(video_length) kps conditioning on host and "
@@ -123,7 +129,12 @@ def main():
     args = parse_args()
     start_time = time.time()
 
+    import jax
     import jax.numpy as jnp
+
+    if args.device == "cpu":
+        # env JAX_PLATFORMS=cpu alone is overridden by TPU plugins
+        jax.config.update("jax_platforms", "cpu")
 
     from vexpress_tpu.utils.runtime import enable_compilation_cache
     enable_compilation_cache()
@@ -148,6 +159,13 @@ def main():
 
         models = _dc.replace(
             models, unet_config=UNetConfig.from_diffusers_json(args.unet_config_path))
+    if args.model_overrides_path:
+        import yaml
+
+        from vexpress_tpu.io.loaders import apply_model_overrides
+
+        with open(args.model_overrides_path) as fh:
+            models = apply_model_overrides(models, yaml.safe_load(fh) or {})
 
     pipeline = load_pipeline(
         models=models,

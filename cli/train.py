@@ -95,28 +95,12 @@ def main():
     dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
     models = default_pipeline_models(dtype=dtype)
 
-    # optional per-module size overrides (smoke tests, research variants):
-    # model_overrides: {unet: {...}, vae: {...}, wav2vec2: {...},
-    #                   audio_projection: {...}, guider: {...}}
+    # optional per-module size overrides (smoke tests, research variants)
     overrides = cfg.get("model_overrides") or {}
     if overrides:
-        import dataclasses as _dc
+        from vexpress_tpu.io.loaders import apply_model_overrides
 
-        def _tup(d):
-            return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
-
-        for section, field, is_cfg in (
-            ("unet", "unet_config", True),
-            ("vae", "vae_config", True),
-            ("wav2vec2", "wav2vec2_config", True),
-            ("audio_projection", "audio_projection_kwargs", False),
-            ("guider", "guider_kwargs", False),
-        ):
-            if section in overrides:
-                cur = getattr(models, field)
-                new = (_dc.replace(cur, **_tup(overrides[section])) if is_cfg
-                       else {**cur, **_tup(overrides[section])})
-                models = _dc.replace(models, **{field: new})
+        models = apply_model_overrides(models, overrides)
 
     if solver.get("denoising_unet_gradient_checkpointing", False):
         # reference train.py:448-451: per-block activation recompute

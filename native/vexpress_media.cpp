@@ -7,8 +7,13 @@
 //
 //   vx_decode_audio  — demux + decode any audio container/codec to mono
 //                      float PCM at a target sample rate
-//   vx_mux_av        — remux a (video-only) mp4 with an audio file into one
-//                      container, stream-copy, trimmed to the shorter stream
+//   vx_mux_av        — mux a (video-only) mp4 with an audio file into one
+//                      container, trimmed to the shorter stream. Audio is
+//                      stream-copied when the output container supports the
+//                      source codec, else transcoded to the container's
+//                      default audio codec (AAC for mp4) — the same outcome
+//                      as the reference's ffmpeg invocation, which lets
+//                      ffmpeg pick the codec (so .wav input still muxes)
 //
 // Exposed to Python through ctypes (vexpress_tpu/utils/media_native.py).
 
@@ -21,6 +26,8 @@
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
+#include <libavutil/audio_fifo.h>
+#include <libavutil/channel_layout.h>
 #include <libavutil/opt.h>
 #include <libswresample/swresample.h>
 }
@@ -146,9 +153,201 @@ long vx_decode_audio(const char* path, int target_rate, float** out, char* err, 
   return (long)samples.size();
 }
 
-// Remux video stream of `video_path` with audio stream of `audio_path` into
-// `out_path` (container inferred from extension), stream-copy, stopping at
-// the shorter stream ("-shortest" semantics). Returns 0 on success.
+namespace {
+
+// decode -> resample -> fifo -> encode state for the transcode audio path
+struct AudioTranscoder {
+  AVCodecContext* dec = nullptr;
+  AVCodecContext* enc = nullptr;
+  SwrContext* swr = nullptr;
+  AVAudioFifo* fifo = nullptr;
+  int64_t next_pts = 0;  // in encoder samples
+  ~AudioTranscoder() {
+    if (fifo) av_audio_fifo_free(fifo);
+    if (swr) swr_free(&swr);
+    if (enc) avcodec_free_context(&enc);
+    if (dec) avcodec_free_context(&dec);
+  }
+};
+
+int pick_sample_rate(const AVCodec* enc, int want) {
+  if (!enc->supported_samplerates) return want;
+  int best = enc->supported_samplerates[0];
+  for (const int* r = enc->supported_samplerates; *r; ++r) {
+    if (*r == want) return want;
+    if (std::abs(*r - want) < std::abs(best - want)) best = *r;
+  }
+  return best;
+}
+
+// Open decoder + encoder + resampler + fifo and fill oa->codecpar from the
+// encoder. Returns 0 on success, else -1 with a message in *emsg.
+int setup_audio_transcoder(AudioTranscoder& t, AVFormatContext* in_a, int as,
+                           AVFormatContext* out, const char* out_path,
+                           AVStream* oa, std::string* emsg) {
+  AVStream* ia = in_a->streams[as];
+  const AVCodec* dec_codec = avcodec_find_decoder(ia->codecpar->codec_id);
+  if (!dec_codec) { *emsg = "no audio decoder"; return -1; }
+  t.dec = avcodec_alloc_context3(dec_codec);
+  avcodec_parameters_to_context(t.dec, ia->codecpar);
+  int ret = avcodec_open2(t.dec, dec_codec, nullptr);
+  if (ret < 0) { *emsg = "audio decoder open: " + av_errstr(ret); return -1; }
+
+  enum AVCodecID enc_id = av_guess_codec(
+      const_cast<AVOutputFormat*>(out->oformat), nullptr, out_path, nullptr,
+      AVMEDIA_TYPE_AUDIO);
+  const AVCodec* enc_codec = avcodec_find_encoder(enc_id);
+  if (!enc_codec) { *emsg = "no audio encoder for output container"; return -1; }
+  t.enc = avcodec_alloc_context3(enc_codec);
+  // AAC (and most lossy codecs) cap at stereo in practice; downmix beyond
+  // 2ch. Use the canonical named layout — decoders like pcm_s16le report an
+  // order-unspecified layout ("1 channels") that encoders reject.
+  int nch = t.dec->ch_layout.nb_channels > 2 ? 2 : t.dec->ch_layout.nb_channels;
+  av_channel_layout_default(&t.enc->ch_layout, nch);
+  t.enc->sample_rate = pick_sample_rate(enc_codec, t.dec->sample_rate);
+  t.enc->sample_fmt = enc_codec->sample_fmts ? enc_codec->sample_fmts[0]
+                                             : AV_SAMPLE_FMT_FLTP;
+  t.enc->bit_rate = 64000 * t.enc->ch_layout.nb_channels;  // speech-sane
+  t.enc->time_base = AVRational{1, t.enc->sample_rate};
+  if (out->oformat->flags & AVFMT_GLOBALHEADER)
+    t.enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+  ret = avcodec_open2(t.enc, enc_codec, nullptr);
+  if (ret < 0) { *emsg = "audio encoder open: " + av_errstr(ret); return -1; }
+  avcodec_parameters_from_context(oa->codecpar, t.enc);
+  oa->time_base = t.enc->time_base;
+
+  ret = swr_alloc_set_opts2(&t.swr, &t.enc->ch_layout, t.enc->sample_fmt,
+                            t.enc->sample_rate, &t.dec->ch_layout,
+                            t.dec->sample_fmt, t.dec->sample_rate, 0, nullptr);
+  if (ret < 0 || !t.swr || swr_init(t.swr) < 0) {
+    *emsg = "transcode swresample init failed";
+    return -1;
+  }
+  t.fifo = av_audio_fifo_alloc(t.enc->sample_fmt, t.enc->ch_layout.nb_channels, 1);
+  if (!t.fifo) { *emsg = "audio fifo alloc failed"; return -1; }
+  return 0;
+}
+
+// Decode + resample + re-encode the audio stream into output stream 1,
+// stopping once video_dur seconds have been encoded. Returns 0 on success.
+int run_audio_transcode(AudioTranscoder& t, AVFormatContext* in_a, int as,
+                        AVFormatContext* out, AVStream* oa, double video_dur,
+                        std::string* emsg) {
+  AVPacket* pkt = av_packet_alloc();
+  AVPacket* enc_pkt = av_packet_alloc();
+  AVFrame* dec_frame = av_frame_alloc();
+  AVFrame* enc_frame = av_frame_alloc();
+  uint8_t** conv = nullptr;
+  int conv_cap = 0;
+  int ret = 0;
+  std::string msg;
+
+  auto fifo_push_converted = [&](AVFrame* f) -> int {
+    int in_nb = f ? f->nb_samples : 0;
+    int max_out = (int)av_rescale_rnd(
+        swr_get_delay(t.swr, t.dec->sample_rate) + in_nb,
+        t.enc->sample_rate, t.dec->sample_rate, AV_ROUND_UP);
+    if (max_out <= 0) max_out = 1024;
+    if (max_out > conv_cap) {
+      if (conv) { av_freep(&conv[0]); av_freep(&conv); }
+      if (av_samples_alloc_array_and_samples(
+              &conv, nullptr, t.enc->ch_layout.nb_channels, max_out,
+              t.enc->sample_fmt, 0) < 0) {
+        msg = "transcode buffer alloc failed";
+        return -1;
+      }
+      conv_cap = max_out;
+    }
+    int got = swr_convert(t.swr, conv, max_out,
+                          f ? (const uint8_t**)f->extended_data : nullptr, in_nb);
+    if (got > 0 && av_audio_fifo_write(t.fifo, (void**)conv, got) < got) {
+      msg = "audio fifo write failed";
+      return -1;
+    }
+    return 0;
+  };
+
+  // encode `n` samples from the fifo (n <= frame_size; short final frame OK)
+  auto encode_from_fifo = [&](int n) -> int {
+    enc_frame->nb_samples = n;
+    enc_frame->format = t.enc->sample_fmt;
+    enc_frame->sample_rate = t.enc->sample_rate;
+    av_channel_layout_copy(&enc_frame->ch_layout, &t.enc->ch_layout);
+    if (av_frame_get_buffer(enc_frame, 0) < 0 ||
+        av_audio_fifo_read(t.fifo, (void**)enc_frame->data, n) < n) {
+      msg = "audio fifo read failed";
+      return -1;
+    }
+    enc_frame->pts = t.next_pts;
+    t.next_pts += n;
+    int r = avcodec_send_frame(t.enc, enc_frame);
+    av_frame_unref(enc_frame);
+    if (r < 0) { msg = "audio encode: " + av_errstr(r); return -1; }
+    while (avcodec_receive_packet(t.enc, enc_pkt) >= 0) {
+      av_packet_rescale_ts(enc_pkt, t.enc->time_base, oa->time_base);
+      enc_pkt->stream_index = 1;
+      av_interleaved_write_frame(out, enc_pkt);
+      av_packet_unref(enc_pkt);
+    }
+    return 0;
+  };
+
+  const int frame_size = t.enc->frame_size > 0 ? t.enc->frame_size : 1024;
+  bool trimmed = false;
+  while (!trimmed && av_read_frame(in_a, pkt) >= 0) {
+    if (pkt->stream_index == as && avcodec_send_packet(t.dec, pkt) >= 0) {
+      while (avcodec_receive_frame(t.dec, dec_frame) >= 0) {
+        if ((ret = fifo_push_converted(dec_frame)) < 0) goto done;
+      }
+    }
+    av_packet_unref(pkt);
+    while (av_audio_fifo_size(t.fifo) >= frame_size) {
+      if ((double)t.next_pts / t.enc->sample_rate > video_dur) {
+        trimmed = true;
+        break;
+      }
+      if ((ret = encode_from_fifo(frame_size)) < 0) goto done;
+    }
+  }
+  if (!trimmed) {
+    // flush decoder, resampler, fifo tail, then the encoder
+    avcodec_send_packet(t.dec, nullptr);
+    while (avcodec_receive_frame(t.dec, dec_frame) >= 0) {
+      if ((ret = fifo_push_converted(dec_frame)) < 0) goto done;
+    }
+    if ((ret = fifo_push_converted(nullptr)) < 0) goto done;
+    while (av_audio_fifo_size(t.fifo) > 0) {
+      int n = av_audio_fifo_size(t.fifo);
+      if ((ret = encode_from_fifo(n < frame_size ? n : frame_size)) < 0) goto done;
+    }
+  }
+  avcodec_send_frame(t.enc, nullptr);
+  while (avcodec_receive_packet(t.enc, enc_pkt) >= 0) {
+    av_packet_rescale_ts(enc_pkt, t.enc->time_base, oa->time_base);
+    enc_pkt->stream_index = 1;
+    av_interleaved_write_frame(out, enc_pkt);
+    av_packet_unref(enc_pkt);
+  }
+
+done:
+  if (conv) { av_freep(&conv[0]); av_freep(&conv); }
+  av_frame_free(&dec_frame);
+  av_frame_free(&enc_frame);
+  av_packet_free(&pkt);
+  av_packet_free(&enc_pkt);
+  if (ret < 0) *emsg = msg;
+  return ret;
+}
+
+}  // namespace
+
+// Mux the video stream of `video_path` with the audio stream of `audio_path`
+// into `out_path` (container inferred from extension), stopping at the
+// shorter stream ("-shortest" semantics). Audio is stream-copied when the
+// container supports the source codec, else transcoded to the container's
+// default audio codec (AAC for mp4) — matching the reference's ffmpeg
+// invocation, which lets ffmpeg pick (pipelines/utils.py:84-86).
+// Returns 0 on success.
 int vx_mux_av(const char* video_path, const char* audio_path, const char* out_path,
               char* err, int errlen) {
   AVFormatContext *in_v = nullptr, *in_a = nullptr, *out = nullptr;
@@ -168,43 +367,46 @@ int vx_mux_av(const char* video_path, const char* audio_path, const char* out_pa
   }
   int vs = av_find_best_stream(in_v, AVMEDIA_TYPE_VIDEO, -1, -1, nullptr, 0);
   int as = av_find_best_stream(in_a, AVMEDIA_TYPE_AUDIO, -1, -1, nullptr, 0);
-  if (vs < 0 || as < 0) {
-    set_err(err, errlen, "missing stream (video or audio)");
+
+  auto fail = [&](const std::string& msg) {
+    set_err(err, errlen, msg);
+    if (out) {
+      if (out->pb && !(out->oformat->flags & AVFMT_NOFILE)) avio_closep(&out->pb);
+      avformat_free_context(out);
+    }
     avformat_close_input(&in_v);
     avformat_close_input(&in_a);
     return -1;
-  }
+  };
+
+  if (vs < 0 || as < 0) return fail("missing stream (video or audio)");
 
   avformat_alloc_output_context2(&out, nullptr, nullptr, out_path);
-  if (!out) {
-    set_err(err, errlen, "alloc output failed");
-    avformat_close_input(&in_v);
-    avformat_close_input(&in_a);
-    return -1;
-  }
+  if (!out) return fail("alloc output failed");
   AVStream* ov = avformat_new_stream(out, nullptr);
   AVStream* oa = avformat_new_stream(out, nullptr);
   avcodec_parameters_copy(ov->codecpar, in_v->streams[vs]->codecpar);
-  avcodec_parameters_copy(oa->codecpar, in_a->streams[as]->codecpar);
   ov->codecpar->codec_tag = 0;
-  oa->codecpar->codec_tag = 0;
+
+  // stream-copy only if the output container can carry the source codec
+  bool copy_audio = avformat_query_codec(
+      out->oformat, in_a->streams[as]->codecpar->codec_id,
+      FF_COMPLIANCE_NORMAL) == 1;
+  AudioTranscoder t;
+  std::string emsg;
+  if (copy_audio) {
+    avcodec_parameters_copy(oa->codecpar, in_a->streams[as]->codecpar);
+    oa->codecpar->codec_tag = 0;
+  } else if (setup_audio_transcoder(t, in_a, as, out, out_path, oa, &emsg) < 0) {
+    return fail(emsg);
+  }
 
   if (!(out->oformat->flags & AVFMT_NOFILE)) {
-    if ((ret = avio_open(&out->pb, out_path, AVIO_FLAG_WRITE)) < 0) {
-      set_err(err, errlen, "avio_open: " + av_errstr(ret));
-      avformat_free_context(out);
-      avformat_close_input(&in_v);
-      avformat_close_input(&in_a);
-      return -1;
-    }
+    if ((ret = avio_open(&out->pb, out_path, AVIO_FLAG_WRITE)) < 0)
+      return fail("avio_open: " + av_errstr(ret));
   }
-  if ((ret = avformat_write_header(out, nullptr)) < 0) {
-    set_err(err, errlen, "write_header: " + av_errstr(ret));
-    avformat_free_context(out);
-    avformat_close_input(&in_v);
-    avformat_close_input(&in_a);
-    return -1;
-  }
+  if ((ret = avformat_write_header(out, nullptr)) < 0)
+    return fail("write_header: " + av_errstr(ret));
 
   double video_dur = in_v->streams[vs]->duration > 0
       ? in_v->streams[vs]->duration * av_q2d(in_v->streams[vs]->time_base)
@@ -221,18 +423,24 @@ int vx_mux_av(const char* video_path, const char* audio_path, const char* out_pa
     av_packet_unref(pkt);
   }
   // audio pass, trimmed to video duration
-  while (av_read_frame(in_a, pkt) >= 0) {
-    if (pkt->stream_index == as) {
-      double t = pkt->pts * av_q2d(in_a->streams[as]->time_base);
-      if (t > video_dur) {
-        av_packet_unref(pkt);
-        break;
+  if (copy_audio) {
+    while (av_read_frame(in_a, pkt) >= 0) {
+      if (pkt->stream_index == as) {
+        double tsec = pkt->pts * av_q2d(in_a->streams[as]->time_base);
+        if (tsec > video_dur) {
+          av_packet_unref(pkt);
+          break;
+        }
+        av_packet_rescale_ts(pkt, in_a->streams[as]->time_base, oa->time_base);
+        pkt->stream_index = 1;
+        av_interleaved_write_frame(out, pkt);
       }
-      av_packet_rescale_ts(pkt, in_a->streams[as]->time_base, oa->time_base);
-      pkt->stream_index = 1;
-      av_interleaved_write_frame(out, pkt);
+      av_packet_unref(pkt);
     }
-    av_packet_unref(pkt);
+  } else if (run_audio_transcode(t, in_a, as, out, oa, video_dur, &emsg) < 0) {
+    av_packet_free(&pkt);
+    av_write_trailer(out);
+    return fail(emsg);
   }
   av_packet_free(&pkt);
   av_write_trailer(out);

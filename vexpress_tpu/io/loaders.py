@@ -38,6 +38,39 @@ def default_pipeline_models(dtype=jnp.bfloat16) -> PipelineModels:
     )
 
 
+def apply_model_overrides(models: PipelineModels, overrides: Dict[str, Any]) -> PipelineModels:
+    """Apply per-module size overrides (smoke tests, research variants).
+
+    overrides: {unet: {...}, vae: {...}, wav2vec2: {...},
+                audio_projection: {...}, guider: {...}} — each sub-dict holds
+    dataclass-field (or kwargs-key) replacements; YAML lists become tuples.
+    Shared by cli/train.py (`model_overrides:` config section) and
+    cli/infer.py (--model_overrides_path)."""
+    import dataclasses as _dc
+
+    def _tup(d):
+        return {k: tuple(v) if isinstance(v, list) else v for k, v in d.items()}
+
+    known = {"unet", "vae", "wav2vec2", "audio_projection", "guider"}
+    unknown = set(overrides) - known
+    if unknown:
+        raise ValueError(f"unknown model_overrides sections {sorted(unknown)}; "
+                         f"expected a subset of {sorted(known)}")
+    for section, field, is_cfg in (
+        ("unet", "unet_config", True),
+        ("vae", "vae_config", True),
+        ("wav2vec2", "wav2vec2_config", True),
+        ("audio_projection", "audio_projection_kwargs", False),
+        ("guider", "guider_kwargs", False),
+    ):
+        if section in overrides:
+            cur = getattr(models, field)
+            new = (_dc.replace(cur, **_tup(overrides[section])) if is_cfg
+                   else {**cur, **_tup(overrides[section])})
+            models = _dc.replace(models, **{field: new})
+    return models
+
+
 def _find_weights_file(directory: str) -> Optional[str]:
     d = pathlib.Path(directory)
     for name in ("diffusion_pytorch_model.safetensors", "diffusion_pytorch_model.bin",

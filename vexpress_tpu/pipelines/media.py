@@ -122,7 +122,15 @@ def save_video(
     writer.release()
 
     if audio_path and native_available():
-        mux_audio_video(temp, audio_path, str(out))
+        try:
+            mux_audio_video(temp, audio_path, str(out))
+        except RuntimeError as e:
+            # never lose a finished generation to a mux failure: keep the
+            # video-only file (the reference's `os.system(ffmpeg ...)` also
+            # ignores mux errors, pipelines/utils.py:84-87)
+            print(f"[vexpress] WARNING: audio mux failed ({e}); saving video without audio")
+            pathlib.Path(temp).rename(out)
+            return
         pathlib.Path(temp).unlink()
     else:
         pathlib.Path(temp).rename(out)
