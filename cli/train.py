@@ -69,7 +69,25 @@ def main():
             process_id=args.process_id if args.process_id >= 0 else None,
         )
         print(f"[vexpress] distributed: process {jax.process_index()}/{jax.process_count()}, "
-              f"{len(jax.devices())} global devices")
+              f"{len(jax.devices())} global devices ({len(jax.local_devices())} local)")
+    multiproc = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    if multiproc:
+        # create the cross-host collective (gloo/ICI) contexts NOW, while the
+        # processes are still in lockstep: context setup has a short rendezvous
+        # timeout, and the first training collective otherwise happens minutes
+        # into compile-skewed execution on a cold cache (observed gloo
+        # GetKeyValue DEADLINE_EXCEEDED killing both workers)
+        from jax.sharding import Mesh
+
+        warm_mesh = Mesh(np.asarray(jax.devices()), ("dp",))
+        x = jax.make_array_from_process_local_data(
+            NamedSharding(warm_mesh, P("dp")),
+            np.ones((len(jax.local_devices()),), np.float32))
+        total = float(jax.jit(
+            jnp.sum, out_shardings=NamedSharding(warm_mesh, P()))(x))
+        assert total == len(jax.devices()), total
+        print(f"[vexpress] collective warmup OK ({jax.process_count()} processes)")
 
     from vexpress_tpu.utils.runtime import enable_compilation_cache
 
@@ -170,15 +188,59 @@ def main():
         n_dev = mesh.shape["dp"]
         repl = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, P("dp"))
-        params = jax.device_put(params, repl)
-        params_trainable = mask_tree(params, mask)
-        opt_state = tx.init(params_trainable)
-        opt_state = jax.device_put(opt_state, shard_opt_state_zero2(opt_state, mesh))
+        if multiproc:
+            # multi-controller: host values must become GLOBAL jax.Arrays
+            # (each process materializes only its addressable shards;
+            # jax.device_put cannot target non-addressable devices)
+            def to_global(tree, sharding):
+                def conv(x):
+                    x = np.asarray(x)
+                    return jax.make_array_from_callback(
+                        x.shape, sharding, lambda idx: x[idx])
+
+                return jax.tree_util.tree_map(conv, tree)
+
+            params = to_global(params, repl)
+            params_trainable = mask_tree(params, mask)
+            # optimizer state born ZeRO-2-sharded straight out of the init
+            # program (no host round-trip; works across processes)
+            opt_shapes = jax.eval_shape(tx.init, params_trainable)
+            opt_state = jax.jit(
+                tx.init, out_shardings=shard_opt_state_zero2(opt_shapes, mesh)
+            )(params_trainable)
+            step0 = to_global(jnp.asarray(0, jnp.int32), repl)
+        else:
+            params = jax.device_put(params, repl)
+            params_trainable = mask_tree(params, mask)
+            opt_state = tx.init(params_trainable)
+            opt_state = jax.device_put(opt_state, shard_opt_state_zero2(opt_state, mesh))
+            step0 = jnp.asarray(0, jnp.int32)
     else:
         n_dev = 1
         batch_sh = None
         opt_state = tx.init(params_trainable)
-    state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        step0 = jnp.asarray(0, jnp.int32)
+    state = TrainState(params, opt_state, step0)
+
+    # surface what optimizer state ACTUALLY materialized (the reference ships
+    # use_8bit_adam: True in every stage config, training_configs/*.yaml:42 —
+    # a config-parity bug here would silently train with 4x the state memory)
+    if tcfg.reduce_optimizer_memory in (True, "8bit"):
+        from vexpress_tpu.train.adam8bit import Adam8bitState
+
+        if not any(isinstance(l, Adam8bitState) for l in jax.tree_util.tree_leaves(
+                opt_state, is_leaf=lambda x: isinstance(x, Adam8bitState))):
+            raise SystemExit("use_8bit_adam is set but the 8-bit Adam state "
+                             "did not materialize")
+        int8_leaves = sum(
+            1 for l in jax.tree_util.tree_leaves(opt_state)
+            if getattr(l, "dtype", None) == jnp.int8
+        )
+        # leaves under adam8bit's 4096-element threshold stay fp32 (bnb parity)
+        print(f"[vexpress] optimizer: blockwise int8 Adam "
+              f"({int8_leaves} int8 state tensors)")
+    else:
+        print("[vexpress] optimizer: fp32 AdamW")
 
     if use_piecewise:
         from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
@@ -213,10 +275,17 @@ def main():
         num_padding_audio_frames=data["num_padding_audio_frames"],
         seed=cfg.get("seed", 0),
     )
+    # train_bs is PER-PROCESS (the reference's accelerate per-process
+    # DataLoader batch, train.py:494-504); the global batch spans all hosts
     batch_size = data["train_bs"]
-    if batch_size % n_dev != 0:
-        raise SystemExit(f"train_bs {batch_size} must be divisible by mesh size {n_dev}")
+    n_local = len(jax.local_devices())
+    if batch_size % n_local != 0:
+        raise SystemExit(f"train_bs {batch_size} must be divisible by the "
+                         f"local device count {n_local}")
     batches = dataset.batches(batch_size)
+    if multiproc:
+        print(f"[vexpress] dataset shard {jax.process_index()}/{jax.process_count()}, "
+              f"global batch {batch_size * jax.process_count()}")
 
     jit_step = trainer.step if use_piecewise else jax.jit(step_fn, donate_argnums=0)
     max_steps = args.max_steps_override or int(solver["max_train_steps"])
@@ -243,9 +312,19 @@ def main():
             profiling = True
         batch = next(batches)
         if batch_sh is not None:
-            batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
+            if multiproc:
+                # each process contributes its host-local batch as its shard
+                # of the global batch axis
+                batch = {k: jax.make_array_from_process_local_data(batch_sh, v)
+                         for k, v in batch.items()}
+            else:
+                batch = {k: jax.device_put(v, batch_sh) for k, v in batch.items()}
         timer.data_done()
         key, sub = jax.random.split(key)
+        if multiproc:
+            # host numpy keys auto-replicate across processes (same seed on
+            # every host); a process-local jax.Array would be rejected by jit
+            sub = np.asarray(sub)
         state, metrics = jit_step(state, batch, sub)
         losses.append(float(metrics["loss"]))
         timer.step_done()
@@ -258,15 +337,30 @@ def main():
                   f"written to {args.profile_dir}")
         if (step_i + 1) % log_every == 0:
             dt_ = time.time() - t0
-            mlog.log(step_i + 1, {"train_loss": float(np.mean(losses)),
-                                  "it_per_s": log_every / dt_, **timer.report()})
-            print(f"[vexpress] step {step_i + 1}/{max_steps} loss {np.mean(losses):.4f} "
-                  f"({log_every / dt_:.2f} it/s)", flush=True)
+            if is_main:  # the accelerate main-process-only logging convention
+                mlog.log(step_i + 1, {"train_loss": float(np.mean(losses)),
+                                      "it_per_s": log_every / dt_, **timer.report()})
+                print(f"[vexpress] step {step_i + 1}/{max_steps} loss {np.mean(losses):.4f} "
+                      f"({log_every / dt_:.2f} it/s)", flush=True)
             losses, t0 = [], time.time()
         if (step_i + 1) % ckpt_every == 0 or step_i + 1 == max_steps:
+            # orbax is multihost-aware: EVERY process calls save (each writes
+            # its addressable shards); torch exports need host-local values —
+            # the all-gather is COLLECTIVE (all processes run it), only the
+            # main process writes the files
             path = save_train_state(ckpt_dir, step_i + 1, state)
-            export_modules(state.params, out_dir, step_i + 1)
-            print(f"[vexpress] checkpoint saved: {path}")
+            export_params = state.params
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                export_params = jax.tree_util.tree_map(
+                    lambda x: np.asarray(multihost_utils.process_allgather(x, tiled=True))
+                    if isinstance(x, jax.Array) and not x.is_fully_addressable else x,
+                    state.params,
+                )
+            if is_main:
+                export_modules(export_params, out_dir, step_i + 1)
+                print(f"[vexpress] checkpoint saved: {path}")
 
 
 if __name__ == "__main__":

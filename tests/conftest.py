@@ -13,7 +13,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the suite is dominated by CPU compiles of
-# grad programs; repeat runs hit the on-disk cache instead.
-from vexpress_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
+# grad programs; repeat runs hit the on-disk cache instead. The dir is keyed
+# per machine — CPU AOT entries from another sandbox are rejected by
+# cpu_aot_loader (machine-feature mismatch), so a shared dir only wastes time
+# failing to load them.
+from vexpress_tpu.utils.runtime import enable_compilation_cache, machine_cpu_cache_dir  # noqa: E402
 
-enable_compilation_cache()
+enable_compilation_cache(os.environ.get("VEXPRESS_COMP_CACHE") or machine_cpu_cache_dir())

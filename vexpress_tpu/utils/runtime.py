@@ -12,10 +12,39 @@ import os
 import time
 
 
+def machine_cpu_cache_dir() -> str:
+    """Per-machine-keyed compile-cache dir for XLA:CPU runs. CPU AOT cache
+    entries embed the compile machine's CPU features and are REJECTED by
+    cpu_aot_loader on any other host ("could lead to SIGILL"), so a shared
+    cache dir across sandboxes both buys nothing and wastes time failing to
+    load every entry. Key by the host CPU's feature flags."""
+    import hashlib
+
+    key = "generic"
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    key = hashlib.md5(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return f"/tmp/vexpress_comp_cache_cpu_{key}"
+
+
 def enable_compilation_cache(path: str = None) -> None:
     import jax
 
-    path = path or os.environ.get("VEXPRESS_COMP_CACHE", "/root/.cache/jax_comp_cache")
+    path = path or os.environ.get("VEXPRESS_COMP_CACHE")
+    if path is None:
+        # TPU executables are target-keyed and shareable; XLA:CPU AOT entries
+        # are machine-keyed and REJECTED cross-host (see machine_cpu_cache_dir)
+        try:
+            platform = jax.default_backend()
+        except Exception:
+            platform = "unknown"
+        path = (machine_cpu_cache_dir() if platform == "cpu"
+                else "/root/.cache/jax_comp_cache")
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
