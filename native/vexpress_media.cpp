@@ -14,6 +14,13 @@
 //                      default audio codec (AAC for mp4) — the same outcome
 //                      as the reference's ffmpeg invocation, which lets
 //                      ffmpeg pick the codec (so .wav input still muxes)
+//   vx_venc_*        — streaming video encoder taking YUV420P planes
+//                      directly (open / write frame / close). The pipeline
+//                      converts RGB->YUV420 ON DEVICE (pipelines/pipeline.
+//                      _to_yuv420), so the host link carries 1.5 B/px instead
+//                      of 3 B/px and the host never touches RGB at all —
+//                      replacing cv2.VideoWriter's BGR path + its internal
+//                      sws conversion.
 //
 // Exposed to Python through ctypes (vexpress_tpu/utils/media_native.py).
 
@@ -449,6 +456,187 @@ int vx_mux_av(const char* video_path, const char* audio_path, const char* out_pa
   avformat_close_input(&in_v);
   avformat_close_input(&in_a);
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Streaming YUV420P video encoder.
+//
+// vx_venc_open  -> opaque handle (nullptr on failure, message in err)
+// vx_venc_write -> feed one frame as three planes (Y: w*h, U/V: w/2*h/2,
+//                  tightly packed rows); returns 0 on success
+// vx_venc_close -> flush, write trailer, free; returns 0 on success
+//
+// Codec: H.264 when an encoder is present in this libavcodec build, else
+// MPEG-4 part 2 (what cv2.VideoWriter's "mp4v" wrote before). Quality is
+// qscale-based (qmin/qmax pinned) — visually transparent for this use.
+
+struct VEnc {
+  AVFormatContext* oc = nullptr;
+  AVCodecContext* cc = nullptr;
+  AVStream* st = nullptr;
+  AVFrame* fr = nullptr;
+  AVPacket* pkt = nullptr;
+  int64_t n = 0;
+  int w = 0, h = 0;
+};
+
+namespace {
+
+void venc_free(VEnc* e) {
+  if (!e) return;
+  if (e->fr) av_frame_free(&e->fr);
+  if (e->pkt) av_packet_free(&e->pkt);
+  if (e->cc) avcodec_free_context(&e->cc);
+  if (e->oc) {
+    if (e->oc->pb && !(e->oc->oformat->flags & AVFMT_NOFILE)) avio_closep(&e->oc->pb);
+    avformat_free_context(e->oc);
+  }
+  delete e;
+}
+
+int venc_drain(VEnc* e, char* err, int errlen) {
+  // receive + write all pending packets from the encoder
+  int ret;
+  while ((ret = avcodec_receive_packet(e->cc, e->pkt)) >= 0) {
+    av_packet_rescale_ts(e->pkt, e->cc->time_base, e->st->time_base);
+    if (e->pkt->duration == 0)  // 1 frame in codec tb; keeps stream duration
+      e->pkt->duration = av_rescale_q(1, e->cc->time_base, e->st->time_base);
+    e->pkt->stream_index = 0;
+    int wret = av_interleaved_write_frame(e->oc, e->pkt);
+    av_packet_unref(e->pkt);
+    if (wret < 0) {
+      set_err(err, errlen, "write packet: " + av_errstr(wret));
+      return -1;
+    }
+  }
+  if (ret == AVERROR(EAGAIN) || ret == AVERROR_EOF) return 0;
+  set_err(err, errlen, "receive packet: " + av_errstr(ret));
+  return -1;
+}
+
+}  // namespace
+
+void* vx_venc_open(const char* path, int w, int h, double fps,
+                   char* err, int errlen) {
+  av_log_set_level(AV_LOG_ERROR);  // keep the x264 banner out of CLI output
+  if (w <= 0 || h <= 0 || (w % 2) || (h % 2) || fps <= 0) {
+    set_err(err, errlen, "invalid dims/fps (need even w/h, fps > 0)");
+    return nullptr;
+  }
+  VEnc* e = new VEnc();
+  e->w = w;
+  e->h = h;
+  auto fail = [&](const std::string& msg) -> void* {
+    set_err(err, errlen, msg);
+    venc_free(e);
+    return nullptr;
+  };
+
+  avformat_alloc_output_context2(&e->oc, nullptr, nullptr, path);
+  if (!e->oc) return fail("alloc output context failed (bad extension?)");
+
+  const AVCodec* codec = avcodec_find_encoder(AV_CODEC_ID_H264);
+  if (!codec) codec = avcodec_find_encoder(AV_CODEC_ID_MPEG4);
+  if (!codec) return fail("no H.264 or MPEG-4 encoder in this libavcodec");
+
+  e->st = avformat_new_stream(e->oc, nullptr);
+  e->cc = avcodec_alloc_context3(codec);
+  if (!e->st || !e->cc) return fail("alloc stream/codec context failed");
+
+  e->cc->width = w;
+  e->cc->height = h;
+  e->cc->pix_fmt = AV_PIX_FMT_YUV420P;
+  e->cc->time_base = av_d2q(1.0 / fps, 1000000);
+  e->cc->framerate = av_d2q(fps, 1000000);
+  e->cc->gop_size = 12;
+  e->cc->color_range = AVCOL_RANGE_MPEG;      // planes are studio-swing BT.601
+  e->cc->colorspace = AVCOL_SPC_BT470BG;
+  // constant-quality mode: visually transparent, no bitrate tuning needed
+  e->cc->flags |= AV_CODEC_FLAG_QSCALE;
+  e->cc->global_quality = FF_QP2LAMBDA * 3;
+  e->cc->qmin = 2;
+  e->cc->qmax = 10;
+  if (codec->id == AV_CODEC_ID_H264) {
+    av_opt_set(e->cc->priv_data, "preset", "fast", 0);
+    av_opt_set(e->cc->priv_data, "crf", "18", 0);
+  }
+  if (e->oc->oformat->flags & AVFMT_GLOBALHEADER)
+    e->cc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+
+  int ret;
+  if ((ret = avcodec_open2(e->cc, codec, nullptr)) < 0)
+    return fail("video encoder open: " + av_errstr(ret));
+  if ((ret = avcodec_parameters_from_context(e->st->codecpar, e->cc)) < 0)
+    return fail("codec params: " + av_errstr(ret));
+  e->st->time_base = e->cc->time_base;
+  e->st->avg_frame_rate = e->cc->framerate;
+
+  if (!(e->oc->oformat->flags & AVFMT_NOFILE)) {
+    if ((ret = avio_open(&e->oc->pb, path, AVIO_FLAG_WRITE)) < 0)
+      return fail("avio_open: " + av_errstr(ret));
+  }
+  if ((ret = avformat_write_header(e->oc, nullptr)) < 0)
+    return fail("write_header: " + av_errstr(ret));
+
+  e->fr = av_frame_alloc();
+  e->pkt = av_packet_alloc();
+  if (!e->fr || !e->pkt) return fail("alloc frame/packet failed");
+  e->fr->format = AV_PIX_FMT_YUV420P;
+  e->fr->width = w;
+  e->fr->height = h;
+  if ((ret = av_frame_get_buffer(e->fr, 0)) < 0)
+    return fail("frame buffer: " + av_errstr(ret));
+  return e;
+}
+
+int vx_venc_write(void* handle, const uint8_t* y, const uint8_t* u,
+                  const uint8_t* v, char* err, int errlen) {
+  VEnc* e = (VEnc*)handle;
+  if (!e) {
+    set_err(err, errlen, "null encoder handle");
+    return -1;
+  }
+  int ret;
+  if ((ret = av_frame_make_writable(e->fr)) < 0) {
+    set_err(err, errlen, "frame not writable: " + av_errstr(ret));
+    return -1;
+  }
+  const int w = e->w, h = e->h, cw = w / 2, ch = h / 2;
+  for (int r = 0; r < h; r++)
+    std::memcpy(e->fr->data[0] + (size_t)r * e->fr->linesize[0], y + (size_t)r * w, w);
+  for (int r = 0; r < ch; r++) {
+    std::memcpy(e->fr->data[1] + (size_t)r * e->fr->linesize[1], u + (size_t)r * cw, cw);
+    std::memcpy(e->fr->data[2] + (size_t)r * e->fr->linesize[2], v + (size_t)r * cw, cw);
+  }
+  e->fr->pts = e->n++;
+  e->fr->quality = e->cc->global_quality;
+  if ((ret = avcodec_send_frame(e->cc, e->fr)) < 0) {
+    set_err(err, errlen, "send frame: " + av_errstr(ret));
+    return -1;
+  }
+  return venc_drain(e, err, errlen);
+}
+
+int vx_venc_close(void* handle, char* err, int errlen) {
+  VEnc* e = (VEnc*)handle;
+  if (!e) {
+    set_err(err, errlen, "null encoder handle");
+    return -1;
+  }
+  int rc = 0;
+  int ret = avcodec_send_frame(e->cc, nullptr);  // flush
+  if (ret < 0 && ret != AVERROR_EOF) {
+    set_err(err, errlen, "flush: " + av_errstr(ret));
+    rc = -1;
+  } else if (venc_drain(e, err, errlen) < 0) {
+    rc = -1;
+  }
+  if ((ret = av_write_trailer(e->oc)) < 0 && rc == 0) {
+    set_err(err, errlen, "trailer: " + av_errstr(ret));
+    rc = -1;
+  }
+  venc_free(e);
+  return rc;
 }
 
 }  // extern "C"

@@ -104,3 +104,73 @@ def test_save_video_with_wav_audio(tmp_path):
     cap = cv2.VideoCapture(str(out))
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
     cap.release()
+
+
+@pytest.mark.skipif(not native_available(), reason="native media lib not built")
+def test_native_yuv420_encoder_roundtrip(tmp_path):
+    """Streaming YUV420 encoder (vx_venc_*): N frames in -> N frames out,
+    content within codec loss of the source (the pipeline converts RGB->YUV
+    on device; here the same BT.601 studio-swing math runs in numpy)."""
+    from vexpress_tpu.pipelines.media import read_video_rgb
+    from vexpress_tpu.utils.media_native import NativeVideoEncoder
+
+    H = W = 64
+    n = 20
+    frames = []
+    for i in range(n):  # smooth, codec-friendly content
+        f = np.zeros((H, W, 3), np.float32)
+        f[..., 0] = np.linspace(0, 1, W)[None, :]
+        f[..., 1] = np.linspace(0, 1, H)[:, None]
+        f[i * 2 : i * 2 + 12, 10:30, 2] = 1.0
+        frames.append(f)
+    rgb = np.stack(frames)
+
+    x = rgb * 255.0
+    r, g, b = x[..., 0], x[..., 1], x[..., 2]
+    y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0
+    u = 128.0 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256.0
+    v = 128.0 + (112.439 * r - 94.154 * g - 18.285 * b) / 256.0
+    yq = np.clip(np.round(y), 16, 235).astype(np.uint8)
+    uq = np.clip(np.round(u.reshape(n, H // 2, 2, W // 2, 2).mean((2, 4))), 16, 240).astype(np.uint8)
+    vq = np.clip(np.round(v.reshape(n, H // 2, 2, W // 2, 2).mean((2, 4))), 16, 240).astype(np.uint8)
+
+    path = str(tmp_path / "venc.mp4")
+    with NativeVideoEncoder(path, W, H, 25.0) as enc:
+        for i in range(n):
+            enc.write(yq[i], uq[i], vq[i])
+
+    back = read_video_rgb(path).astype(np.float32) / 255.0
+    assert back.shape == rgb.shape
+    mse = float(np.mean((back - rgb) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 28, psnr
+
+
+@pytest.mark.skipif(not native_available(), reason="native media lib not built")
+def test_save_video_yuv_with_audio(tmp_path):
+    """save_video_yuv writes a playable mp4 with the audio muxed in."""
+    from vexpress_tpu.pipelines.media import read_video_rgb, save_video_yuv
+
+    H = W = 64
+    n = 10
+    yq = np.full((n, H, W), 128, np.uint8)
+    uq = np.full((n, H // 2, W // 2), 128, np.uint8)
+    vq = np.full((n, H // 2, W // 2), 128, np.uint8)
+
+    wav = str(tmp_path / "a.wav")
+    with wave.open(wav, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        t = np.arange(16000) / 16000.0
+        w.writeframes((np.sin(2 * np.pi * 440 * t) * 20000).astype(np.int16).tobytes())
+
+    out = str(tmp_path / "out.mp4")
+    save_video_yuv(yq, uq, vq, wav, out, fps=25.0)
+    back = read_video_rgb(out)
+    assert back.shape[0] == n
+    # audio stream landed
+    from vexpress_tpu.utils.media_native import load_audio
+
+    audio = load_audio(out, 16000)
+    assert len(audio) > 1000

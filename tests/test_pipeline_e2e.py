@@ -96,6 +96,39 @@ def test_uint8_kps_and_output(tiny_pipeline):
     assert np.abs(vid_u8.astype(np.int16) - expected.astype(np.int16)).max() <= 1
 
 
+def test_output_yuv420_matches_uint8(tiny_pipeline):
+    """Device-side YUV420 output (the native-encoder fast path: half the
+    device->host bytes) must equal the BT.601 studio-swing conversion of the
+    uint8 RGB output within rounding."""
+    rng = np.random.default_rng(31)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=np.asarray(rng.uniform(size=(L, H, W, 3)), np.float32),
+        audio_waveform=np.asarray(rng.normal(size=(4000,)), np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, median_filter=True,
+    )
+    rgb = tiny_pipeline(output_uint8=True, **kwargs).astype(np.float32)
+    y, u, v = tiny_pipeline(output_yuv420=True, **kwargs)
+    assert y.shape == (L, H, W) and u.shape == (L, H // 2, W // 2)
+    assert y.dtype == np.uint8 and u.dtype == np.uint8
+
+    # host reference conversion from the (quantized) RGB output; the device
+    # path converts BEFORE the uint8 quantization, so allow 2 LSB
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y_ref = np.clip(np.round(16.0 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0), 16, 235)
+    u_full = 128.0 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256.0
+    v_full = 128.0 + (112.439 * r - 94.154 * g - 18.285 * b) / 256.0
+    u_ref = np.clip(np.round(u_full.reshape(L, H // 2, 2, W // 2, 2).mean((2, 4))), 16, 240)
+    v_ref = np.clip(np.round(v_full.reshape(L, H // 2, 2, W // 2, 2).mean((2, 4))), 16, 240)
+    assert np.abs(y.astype(np.float32) - y_ref).max() <= 2
+    assert np.abs(u.astype(np.float32) - u_ref).max() <= 2
+    assert np.abs(v.astype(np.float32) - v_ref).max() <= 2
+
+
 def test_save_memory_matches_streamed(tiny_pipeline):
     """Host-resident kps conditioning (--save_gpu_memory analog) is exact:
     gathering window groups on host then shipping equals device-side gather."""
@@ -273,6 +306,32 @@ def test_strength_partial_denoise(tiny_pipeline):
 
     with pytest.raises(ValueError):
         tiny_pipeline(strength=0.0, **kwargs)
+
+
+def test_eta_stochastic_ddim(tiny_pipeline):
+    """`eta` (reference __call__ parity, v_express_pipeline.py:604): 0.0 is
+    the deterministic default; eta>0 adds the Song et al. eq. 12 noise term
+    and must change the result while staying finite and seed-deterministic."""
+    rng = np.random.default_rng(23)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=np.asarray(rng.uniform(size=(L, H, W, 3)), np.float32),
+        audio_waveform=np.asarray(rng.normal(size=(4000,)), np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, return_latents=True,
+    )
+    lat0 = tiny_pipeline(eta=0.0, **kwargs)
+    lat_e = tiny_pipeline(eta=0.8, **kwargs)
+    lat_e2 = tiny_pipeline(eta=0.8, **kwargs)
+    assert np.isfinite(lat_e).all()
+    assert not np.allclose(lat_e, lat0)          # the noise term is real
+    np.testing.assert_array_equal(lat_e, lat_e2)  # and seed-deterministic
+
+    with pytest.raises(ValueError):
+        tiny_pipeline(eta=0.5, mode="fused", **kwargs)
 
 
 def test_piecewise_matches_monolithic(tiny_pipeline):

@@ -136,6 +136,42 @@ def save_video(
         pathlib.Path(temp).rename(out)
 
 
+def save_video_yuv(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    audio_path: Optional[str],
+    output_path: str,
+    fps: float = 30.0,
+) -> None:
+    """Write an mp4 straight from device-produced YUV420 planes
+    (VExpressPipeline(output_yuv420=True)): Y (F, H, W), U/V (F, H/2, W/2)
+    uint8. Uses the native streaming encoder — no host colorspace work, no
+    cv2 — then muxes the audio like save_video."""
+    from ..utils.media_native import NativeVideoEncoder
+
+    out = pathlib.Path(output_path)
+    out.parent.mkdir(exist_ok=True, parents=True)
+    f, h, w = y.shape
+    assert u.shape == (f, h // 2, w // 2) and v.shape == u.shape, (y.shape, u.shape, v.shape)
+
+    temp = str(out.with_name(out.stem + "-temp" + out.suffix))
+    with NativeVideoEncoder(temp, w, h, fps) as enc:
+        for i in range(f):
+            enc.write(y[i], u[i], v[i])
+
+    if audio_path and native_available():
+        try:
+            mux_audio_video(temp, audio_path, str(out))
+        except RuntimeError as e:
+            print(f"[vexpress] WARNING: audio mux failed ({e}); saving video without audio")
+            pathlib.Path(temp).rename(out)
+            return
+        pathlib.Path(temp).unlink()
+    else:
+        pathlib.Path(temp).rename(out)
+
+
 def load_image_rgb(path: str, height: int, width: int) -> np.ndarray:
     """-> (H, W, 3) float32 RGB in [0, 1], resized (PIL-free, cv2 bilinear...
     reference resizes with PIL (inference.py:235-236); cv2 INTER_LINEAR is the

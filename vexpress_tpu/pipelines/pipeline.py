@@ -291,8 +291,33 @@ class VExpressPipeline:
     def _to_uint8(self, video: jax.Array) -> jax.Array:
         return (jnp.clip(video.astype(jnp.float32), 0.0, 1.0) * 255).astype(jnp.uint8)
 
+    @functools.partial(jax.jit, static_argnums=0)
+    def _to_yuv420(self, video: jax.Array):
+        """(F, H, W, 3) RGB in [0,1] -> studio-swing BT.601 YUV420 planes
+        (Y uint8 (F,H,W), U/V uint8 (F,H/2,W/2), 2x2-mean chroma).
+
+        This is the exact conversion the mp4 encode needs (the container is
+        YUV420 regardless), moved ON DEVICE: the host link then carries
+        1.5 B/px instead of 3 B/px — on the ~10 MB/s axon tunnel the video
+        download halves from ~10 s to ~5 s per 124-frame clip, and the native
+        encoder (utils.media_native.NativeVideoEncoder) consumes the planes
+        with no host colorspace work at all."""
+        x = jnp.clip(video.astype(jnp.float32), 0.0, 1.0) * 255.0
+        r, g, b = x[..., 0], x[..., 1], x[..., 2]
+        y = 16.0 + (65.738 * r + 129.057 * g + 25.064 * b) / 256.0
+        u = 128.0 + (-37.945 * r - 74.494 * g + 112.439 * b) / 256.0
+        v = 128.0 + (112.439 * r - 94.154 * g - 18.285 * b) / 256.0
+        f, h, w = y.shape
+        u = u.reshape(f, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        v = v.reshape(f, h // 2, 2, w // 2, 2).mean(axis=(2, 4))
+        yq = jnp.clip(jnp.round(y), 16, 235).astype(jnp.uint8)
+        uq = jnp.clip(jnp.round(u), 16, 240).astype(jnp.uint8)
+        vq = jnp.clip(jnp.round(v), 16, 240).astype(jnp.uint8)
+        return yq, uq, vq
+
     def decode_latents(self, latents: jax.Array, chunk: int = 16,
-                       median_filter: bool = False, as_uint8: bool = False) -> np.ndarray:
+                       median_filter: bool = False, as_uint8: bool = False,
+                       as_yuv420: bool = False) -> np.ndarray:
         """(L, h, w, 4) -> (L, H, W, 3), chunked over frames.
 
         The decoded video stays device-resident until the final transfers: the
@@ -303,7 +328,13 @@ class VExpressPipeline:
         per-chunk transfers started with copy_to_host_async so the download of
         chunk i overlaps the decode/filter compute of chunks i+1.. (the whole
         post-denoise tail costs ~max(compute, transfer) instead of their sum).
-        Returns float32 in [0, 1] unless as_uint8."""
+        `as_yuv420` goes further: the BT.601 YUV420 conversion the mp4 encode
+        needs anyway runs on device and only the planes download — 1.5 B/px,
+        another 2x less transfer; returns (Y, U, V) uint8 arrays for
+        media.save_video_yuv / the native encoder.
+        Returns float32 in [0, 1] unless as_uint8/as_yuv420."""
+        if as_uint8 and as_yuv420:
+            raise ValueError("pick one of as_uint8 / as_yuv420")
         n = latents.shape[0]
 
         def dec(i):
@@ -313,20 +344,21 @@ class VExpressPipeline:
                 sl = jnp.concatenate([sl, jnp.zeros((chunk - core,) + sl.shape[1:], sl.dtype)])
             return with_compile_retries(self._decode_chunk, sl, label="vae decode"), core
 
-        if as_uint8 and not (median_filter and n <= 2):
+        if (as_uint8 or as_yuv420) and not (median_filter and n <= 2):
             # fully pipelined: decode chunk i+1 is enqueued before chunk i's
-            # filter + uint8 + async download, so the ~10 MB/s tunnel
+            # filter + uint8/yuv + async download, so the ~10 MB/s tunnel
             # transfers overlap the remaining decode/filter compute instead
             # of starting only after the whole video is decoded
             from .media import _median_core
 
             def emit(piece, core):
-                u8 = self._to_uint8(piece)
-                try:
-                    u8.copy_to_host_async()
-                except Exception:
-                    pass  # transfer still happens (blocking) in np.asarray
-                return (u8, core)
+                packed = self._to_yuv420(piece) if as_yuv420 else self._to_uint8(piece)
+                for leaf in jax.tree_util.tree_leaves(packed):
+                    try:
+                        leaf.copy_to_host_async()
+                    except Exception:
+                        pass  # transfer still happens (blocking) in np.asarray
+                return (packed, core)
 
             host_chunks = []
             if not median_filter:
@@ -364,6 +396,12 @@ class VExpressPipeline:
                 local = np.clip(g - (start - 1), 0, chunk)  # discarded tail stays in-bounds
                 piece = stacked[jnp.asarray(local)]
                 host_chunks.append(emit(_median_core(piece), core))
+            if as_yuv420:
+                planes = []
+                for j in range(3):
+                    planes.append(np.concatenate(
+                        [np.asarray(c[j])[:core] for c, core in host_chunks], axis=0))
+                return tuple(planes)
             return np.concatenate([np.asarray(c)[:core] for c, core in host_chunks], axis=0)
 
         outs = []
@@ -372,13 +410,16 @@ class VExpressPipeline:
             outs.append(cur if core == chunk else cur[:core])
         video = jnp.concatenate(outs, axis=0)
 
-        if as_uint8:
+        if as_uint8 or as_yuv420:
             # only the degenerate filtered n<=2 clip reaches here (the guard
-            # above routes every other as_uint8 case through the pipelined
-            # branch): whole-video filter, one uint8 download
+            # above routes every other packed case through the pipelined
+            # branch): whole-video filter, one download
             from .media import median_filter_3d
 
-            return np.asarray(self._to_uint8(median_filter_3d(video)))
+            video = median_filter_3d(video)
+            if as_yuv420:
+                return tuple(np.asarray(p) for p in self._to_yuv420(video))
+            return np.asarray(self._to_uint8(video))
 
         if median_filter:
             from .media import median_filter_3d_chunked
@@ -389,7 +430,8 @@ class VExpressPipeline:
     # ---------------------------------------------------------- denoise step
 
     def _build_group_programs(self, num_inference_steps: int, guidance_scale: float,
-                              window_group: int, win_size: int, pregathered: bool = False):
+                              window_group: int, win_size: int, pregathered: bool = False,
+                              eta: float = 0.0):
         """Streamed mode: two small reusable programs instead of one fused
         per-video-length step.
 
@@ -431,13 +473,14 @@ class VExpressPipeline:
             return acc.at[w_idx].add(pred)
 
         @jax.jit
-        def ddim(acc, t, latents):
-            return self.scheduler.step(acc, t, latents, num_inference_steps)
+        def ddim(acc, t, latents, noise_key=None):
+            return self.scheduler.step(acc, t, latents, num_inference_steps,
+                                       eta=eta, noise_key=noise_key)
 
         return group_step, ddim
 
     def _build_piecewise_programs(self, num_inference_steps: int, guidance_scale: float,
-                                  pregathered: bool = False):
+                                  pregathered: bool = False, eta: float = 0.0):
         """Piecewise-streamed mode: gather/CFG and scatter/DDIM are tiny jits;
         the UNet itself runs per-block via PiecewiseUNetRunner (the axon
         remote-compile service cannot build monolithic SD-scale programs)."""
@@ -467,8 +510,9 @@ class VExpressPipeline:
             return acc.at[w_idx].add(pred)
 
         @jax.jit
-        def ddim(acc, t, latents):
-            return self.scheduler.step(acc, t, latents, num_inference_steps)
+        def ddim(acc, t, latents, noise_key=None):
+            return self.scheduler.step(acc, t, latents, num_inference_steps,
+                                       eta=eta, noise_key=noise_key)
 
         def group_step(acc, latents, t, w_idx, w_weights, kps_feat, audio_tok, ref_feats,
                        ref_scale, audio_scale):
@@ -486,7 +530,7 @@ class VExpressPipeline:
                           audio_tok, ref_feats, ref_scale, audio_scale,
                           num_inference_steps, guidance_scale, window_group,
                           progress_callback=None, piecewise=False, save_memory=False,
-                          kps_raw_host=None):
+                          kps_raw_host=None, eta=0.0, noise_rng=None):
         n_windows, win_size = windows.shape
         g = min(window_group, n_windows)
         n_groups = -(-n_windows // g)
@@ -497,16 +541,18 @@ class VExpressPipeline:
         win_idx = win_idx.reshape(n_groups, g, win_size).astype(np.int32)
 
         cache_key = ("piecewise" if piecewise else "group",
-                     num_inference_steps, float(guidance_scale), g, win_size, save_memory)
+                     num_inference_steps, float(guidance_scale), g, win_size, save_memory,
+                     float(eta))
         if cache_key not in self._step_cache:
             if piecewise:
                 self._step_cache[cache_key] = self._build_piecewise_programs(
-                    num_inference_steps, guidance_scale, pregathered=save_memory
+                    num_inference_steps, guidance_scale, pregathered=save_memory,
+                    eta=eta,
                 )
             else:
                 self._step_cache[cache_key] = self._build_group_programs(
                     num_inference_steps, guidance_scale, g, win_size,
-                    pregathered=save_memory
+                    pregathered=save_memory, eta=eta,
                 )
         group_step, ddim = self._step_cache[cache_key]
 
@@ -532,7 +578,12 @@ class VExpressPipeline:
                 acc = with_compile_retries(
                     group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_arg,
                     audio_tok, ref_feats, ref_scale, audio_scale, label="group step")
-            latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
+            if eta != 0.0:
+                noise_rng, sub = jax.random.split(noise_rng)
+                latents = with_compile_retries(ddim, acc, tt, latents, sub,
+                                               label="ddim step")
+            else:
+                latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
             if progress_callback is not None:
                 latents.block_until_ready()
                 progress_callback(i, int(t))
@@ -715,6 +766,8 @@ class VExpressPipeline:
         num_inference_steps: int = 25,
         guidance_scale: float = 3.5,
         strength: float = 1.0,
+        eta: float = 0.0,  # stochastic DDIM (Song et al. eq. 12); 0 = reference default
+        context_schedule: str = "uniform",  # the only schedule the reference ships
         context_frames: int = 24,
         context_overlap: int = 4,
         reference_attention_weight: float = 0.95,
@@ -730,6 +783,7 @@ class VExpressPipeline:
         return_latents: bool = False,
         median_filter: bool = False,  # on-device 3x3x3 flicker filter (save_video's)
         output_uint8: bool = False,  # download uint8 (4x less tunnel traffic)
+        output_yuv420: bool = False,  # download YUV420 planes (6x less; native encoder)
         progress_callback=None,
     ) -> np.ndarray:
         """Generate a talking-head video. Returns (L, H, W, 3) float32 in
@@ -789,6 +843,10 @@ class VExpressPipeline:
                     num_pad_audio_frames, label="audio encoder")
             audio_tok.block_until_ready()
 
+        if context_schedule != "uniform":
+            # parity with the reference's get_context_scheduler
+            # (pipelines/context.py:62-66): only "uniform" exists
+            raise ValueError(f"unknown context_schedule {context_schedule!r}")
         windows, inv_counts = compute_context_windows(video_length, context_frames, context_overlap)
 
         key = jax.random.PRNGKey(seed)
@@ -833,12 +891,15 @@ class VExpressPipeline:
             t_start = max(num_inference_steps - init_timestep, 0)
             timesteps = timesteps[t_start:]
 
+        if eta != 0.0 and mode != "streamed":
+            raise ValueError("eta > 0 (stochastic DDIM) is supported in mode='streamed'")
         if mode == "streamed":
             latents = self._denoise_streamed(
                 latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
                 ref_scale, audio_scale, num_inference_steps, guidance_scale, window_group,
                 progress_callback, piecewise=piecewise, save_memory=save_memory,
                 kps_raw_host=kps_images if save_memory else None,
+                eta=eta, noise_rng=jax.random.fold_in(key, 1) if eta != 0.0 else None,
             )
             if l_pad:
                 latents = latents[:video_length]
@@ -887,7 +948,8 @@ class VExpressPipeline:
                 if return_latents:
                     return np.asarray(latents)
                 return self.decode_latents(latents, median_filter=median_filter,
-                                           as_uint8=output_uint8)
+                                           as_uint8=output_uint8,
+                                           as_yuv420=output_yuv420)
             cache_key = ("sharded", int(latents.shape[0]), win_idx_np.shape,
                          num_inference_steps, float(guidance_scale), window_group,
                          tuple(mesh.shape.items()))
@@ -926,4 +988,4 @@ class VExpressPipeline:
         if return_latents:
             return np.asarray(latents)
         return self.decode_latents(latents, median_filter=median_filter,
-                                   as_uint8=output_uint8)
+                                   as_uint8=output_uint8, as_yuv420=output_yuv420)

@@ -51,6 +51,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
                               ctypes.c_char_p, ctypes.c_int]
     lib.vx_free.restype = None
     lib.vx_free.argtypes = [ctypes.c_void_p]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.vx_venc_open.restype = ctypes.c_void_p
+    lib.vx_venc_open.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                                 ctypes.c_double, ctypes.c_char_p, ctypes.c_int]
+    lib.vx_venc_write.restype = ctypes.c_int
+    lib.vx_venc_write.argtypes = [ctypes.c_void_p, u8p, u8p, u8p,
+                                  ctypes.c_char_p, ctypes.c_int]
+    lib.vx_venc_close.restype = ctypes.c_int
+    lib.vx_venc_close.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
     _lib = lib
     return _lib
 
@@ -114,6 +123,56 @@ def mux_audio_video(video_path: str, audio_path: str, out_path: str) -> None:
                         str(out_path).encode(), err, len(err))
     if ret != 0:
         raise RuntimeError(f"mux failed: {err.value.decode()}")
+
+
+class NativeVideoEncoder:
+    """Streaming YUV420P mp4 encoder (native vx_venc_*).
+
+    Consumes Y/U/V uint8 planes directly — the pipeline converts RGB->YUV420
+    on DEVICE, so the host link carries half the bytes and the host never
+    does a colorspace conversion (the cv2.VideoWriter path converted
+    RGB->BGR in numpy, then BGR->YUV420 again inside ffmpeg)."""
+
+    def __init__(self, path: str, width: int, height: int, fps: float):
+        lib = _load_lib()
+        if lib is None:
+            raise RuntimeError("native media library unavailable (build native/ with make)")
+        self._lib = lib
+        err = ctypes.create_string_buffer(512)
+        self._h = lib.vx_venc_open(str(path).encode(), int(width), int(height),
+                                   float(fps), err, len(err))
+        if not self._h:
+            raise RuntimeError(f"native video encoder open failed: {err.value.decode()}")
+        self.width, self.height = width, height
+
+    def write(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> None:
+        assert y.shape == (self.height, self.width), y.shape
+        assert u.shape == (self.height // 2, self.width // 2), u.shape
+        assert v.shape == u.shape, (v.shape, u.shape)
+        y = np.ascontiguousarray(y, np.uint8)
+        u = np.ascontiguousarray(u, np.uint8)
+        v = np.ascontiguousarray(v, np.uint8)
+        err = ctypes.create_string_buffer(512)
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        ret = self._lib.vx_venc_write(
+            self._h, y.ctypes.data_as(u8p), u.ctypes.data_as(u8p),
+            v.ctypes.data_as(u8p), err, len(err))
+        if ret != 0:
+            raise RuntimeError(f"native video encode failed: {err.value.decode()}")
+
+    def close(self) -> None:
+        if self._h:
+            err = ctypes.create_string_buffer(512)
+            ret = self._lib.vx_venc_close(self._h, err, len(err))
+            self._h = None
+            if ret != 0:
+                raise RuntimeError(f"native video finalize failed: {err.value.decode()}")
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def native_available() -> bool:
