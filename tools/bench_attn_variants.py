@@ -94,9 +94,14 @@ def main():
             return out[..., :D]
         return fn
 
-    bench("flash_pad128", flash_at(128))
-    bench("flash_pad64", flash_at(64))
+    import os
+    only_bb = os.environ.get("VEXPRESS_BENCH_ONLY_BB") == "1"
+
+    if not only_bb:
+        bench("flash_pad128", flash_at(128))
     bench("flash_native40", flash_at(40))
+    if not only_bb:
+        bench("flash_pad64", flash_at(64))
 
     # --- splash attention ---
     from jax.experimental.pallas.ops.tpu.splash_attention import (
@@ -126,9 +131,10 @@ def main():
             return out[..., :D]
         return fn
 
-    bench("splash_native40", splash_at(40))
-    bench("splash_pad64", splash_at(64))
-    bench("splash_bq4096", splash_at(40, bq=4096, bkv=2048))
+    if not only_bb:
+        bench("splash_native40", splash_at(40))
+        bench("splash_pad64", splash_at(64))
+        bench("splash_bq4096", splash_at(40, bq=4096, bkv=2048))
 
     # --- repo's chunked-XLA fallback (ops.attention.sdpa, (B, L, H*D) layout) ---
     from vexpress_tpu.ops.attention import sdpa as xla_sdpa
@@ -139,7 +145,31 @@ def main():
         out = xla_sdpa(fold(q), fold(k), fold(v), H)
         return out.reshape(B, L, H, D).transpose(0, 2, 1, 3)
 
-    bench("xla_chunked", xla_chunked)
+    if not only_bb:
+        bench("xla_chunked", xla_chunked)
+
+    # --- block_b > 1: more (batch, head) pairs per grid step. At D=40 each
+    # q/k/v tile is tiny (1024x40 = 80 KB bf16), so the MXU work per grid
+    # step is small relative to the fixed per-step pipeline overhead;
+    # batching b·h into the tile amortizes it (VMEM check: the fp32 softmax
+    # scratch is block_b * block_q * block_k * 4 B).
+    def flash_bb(block_b, bq=1024, bk=1024):
+        def fn(q, k, v):
+            block = BlockSizes(
+                block_q=min(bq, L), block_k_major=min(bk, L), block_k=min(bk, L),
+                block_b=block_b,
+                block_q_major_dkv=min(512, L), block_k_major_dkv=min(512, L),
+                block_k_dkv=min(512, L), block_q_dkv=min(512, L),
+                block_k_major_dq=min(512, L), block_k_dq=min(512, L),
+                block_q_dq=min(512, L),
+            )
+            return flash_attention(q, k, v, causal=False, sm_scale=float(scale),
+                                   block_sizes=block)
+        return fn
+
+    for bb in (2, 4):
+        for bq, bk in ((1024, 1024), (2048, 1024), (512, 2048)):
+            bench(f"flash_bb{bb}_q{bq}k{bk}", flash_bb(bb, bq, bk))
 
 
 if __name__ == "__main__":
