@@ -159,16 +159,23 @@ class TemporalBasicTransformerBlock(nn.Module):
         x = x + audio_scale * attn2(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(norm("norm3")(x))
         if self.use_temporal_attention:
-            # (b f) d c -> (b d) f c, attend over frames, back (attention.py:466-479)
-            bf, d, c = x.shape
-            b = bf // frames
-            xt = x.reshape(b, frames, d, c).transpose(0, 2, 1, 3).reshape(b * d, frames, c)
-            a = Attention(
+            # per-pixel attention over frames (attention.py:466-479); LayerNorm
+            # commutes with the (b f) d c <-> (b d) f c permutation, so the
+            # transpose-free temporal mode applies here too (ops/attention.py)
+            attn_temp = Attention(
                 self.dim, self.heads, self.dim_head, out_kernel_zero_init=True,
                 dtype=self.dtype, name="attn_temp",
-            )(norm("norm_temp")(xt))
-            xt = xt + a
-            x = xt.reshape(b, d, frames, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
+            )
+            import os as _os
+            if _os.environ.get("VEXPRESS_TEMPORAL_FOLDED", "1") == "1":
+                x = x + attn_temp(norm("norm_temp")(x), temporal_frames=frames)
+            else:
+                bf, d, c = x.shape
+                b = bf // frames
+                xt = x.reshape(b, frames, d, c).transpose(0, 2, 1, 3).reshape(b * d, frames, c)
+                a = attn_temp(norm("norm_temp")(xt))
+                xt = xt + a
+                x = xt.reshape(b, d, frames, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
         return x
 
 

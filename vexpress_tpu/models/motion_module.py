@@ -11,6 +11,8 @@ length F (<= max_len=32), which tiles cleanly onto the MXU.
 
 from __future__ import annotations
 
+import os as _os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -41,15 +43,27 @@ class TemporalTransformerBlock(nn.Module):
         b = bf // frames
         pe = jnp.asarray(get_sinusoidal_positional_encoding(self.dim, self.max_len), dtype=self.dtype)
 
+        # Transpose-free path (default): keep tokens in (b*f, d, c), add the
+        # positional encoding by broadcasting pe[frame-of-row] over d, and let
+        # Attention's temporal mode carry the frame permutation inside its
+        # einsum batch dims — drops 4 materialized full-tensor transposes per
+        # attention block (measured 15% of the block at @64; ops/attention.py).
+        # VEXPRESS_TEMPORAL_FOLDED=0 restores the reference-shaped rearrange.
+        folded = _os.environ.get("VEXPRESS_TEMPORAL_FOLDED", "1") == "1"
         for i in range(self.num_attention_blocks):
             n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=f"norms_{i}")(x)
-            # (b f) d c -> (b d) f c  (motion_module.py:360-363)
-            n = n.reshape(b, frames, d, c).transpose(0, 2, 1, 3).reshape(b * d, frames, c)
-            n = n + pe[:, :frames]
-            a = Attention(
+            attn = Attention(
                 self.dim, self.heads, self.dim // self.heads, dtype=self.dtype, name=f"attention_blocks_{i}"
-            )(n)
-            a = a.reshape(b, d, frames, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
+            )
+            if folded:
+                pe_rows = jnp.tile(pe[0, :frames], (b, 1))[:, None, :]  # (b*f, 1, c)
+                a = attn(n + pe_rows, temporal_frames=frames)
+            else:
+                # (b f) d c -> (b d) f c  (motion_module.py:360-363)
+                n = n.reshape(b, frames, d, c).transpose(0, 2, 1, 3).reshape(b * d, frames, c)
+                n = n + pe[:, :frames]
+                a = attn(n)
+                a = a.reshape(b, d, frames, c).transpose(0, 2, 1, 3).reshape(bf, d, c)
             x = x + a
 
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(

@@ -195,6 +195,7 @@ class Attention(nn.Module):
         hidden_states: jax.Array,
         encoder_hidden_states: Optional[jax.Array] = None,
         zero_kv_first_half: bool = False,
+        temporal_frames: Optional[int] = None,
     ) -> jax.Array:
         kv = hidden_states if encoder_hidden_states is None else encoder_hidden_states
         inner = self.heads * self.dim_head
@@ -204,6 +205,37 @@ class Attention(nn.Module):
         to_v = dense(inner, use_bias=self.qkv_bias, name="to_v")
         out_kw = dict(kernel_init=nn.initializers.zeros) if self.out_kernel_zero_init else {}
         to_out = dense(self.query_dim, use_bias=self.out_bias, name="to_out_0", **out_kw)
+
+        if temporal_frames is not None:
+            # Temporal (motion) self-attention WITHOUT the module-level
+            # (b f) d c -> (b d) f c rearrange: input stays (b*f, d, c); the
+            # projections run as large clean matmuls in that layout and the
+            # frame permutation rides inside the per-head attention einsums
+            # (batch dims (b, d)). Measured at the @64 production shape
+            # (b*f=48, d=4096, c=320): 10.36 ms vs 12.19 ms per attention
+            # block for rearrange + lane-slice sdpa — the 4 materialized
+            # full-tensor transposes per block were ~15% of its cost
+            # (/tmp-r3 motion_variant experiment; same math, <=1 bf16 ulp).
+            # Kill switch: VEXPRESS_TEMPORAL_FOLDED=0 restores the rearrange
+            # path (models/motion_module.py).
+            assert encoder_hidden_states is None and not zero_kv_first_half
+            f = temporal_frames
+            bf, d_tok, _ = hidden_states.shape
+            b = bf // f
+            scale = self.dim_head**-0.5
+            q, k, v = to_q(hidden_states), to_k(hidden_states), to_v(hidden_states)
+            outs = []
+            for i in range(self.heads):
+                sl = slice(i * self.dim_head, (i + 1) * self.dim_head)
+                qh = q[:, :, sl].reshape(b, f, d_tok, self.dim_head)
+                kh = k[:, :, sl].reshape(b, f, d_tok, self.dim_head)
+                vh = v[:, :, sl].reshape(b, f, d_tok, self.dim_head)
+                logits = jnp.einsum("bqde,bkde->bdqk", qh, kh,
+                                    preferred_element_type=jnp.float32)
+                w = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+                outs.append(jnp.einsum("bdqk,bkde->bqde", w, vh))
+            o = jnp.stack(outs, axis=3).reshape(bf, d_tok, inner)
+            return to_out(o)
 
         def attend(hs, kv_):
             q, k, v = to_q(hs), to_k(kv_), to_v(kv_)
