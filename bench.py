@@ -76,6 +76,20 @@ def _require_live_backend(timeout_s: float = 180.0):
         os._exit(1)
 
 
+def _peak_hbm_mib():
+    """Peak device memory, MiB (reference baseline: 7,956 MiB peak on V100
+    for the 930-frame --save_gpu_memory run, /root/reference/README.md:116).
+    memory_stats() may be unavailable through the axon tunnel runtime."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        return round(peak / 2**20, 1) if peak else None
+    except Exception:
+        return None
+
+
 def main():
     quick = "--quick" in sys.argv
 
@@ -154,6 +168,7 @@ def main():
     n_windows = len(compute_context_windows(video_length, context_frames, context_overlap)[0])
     cold_fps = video_length / cold_s
     steady_fps = video_length / steady_s
+    peak_124 = _peak_hbm_mib()  # snapshot BEFORE the 930-frame pass
 
     # --- the reference's actual workload: 930 frames, amortized all-inclusive
     long_detail = {}
@@ -166,6 +181,20 @@ def main():
     elif skip_long:
         long_detail["long_skipped_reason"] = "--quick/--skip-long"
     if not skip_long:
+        # Provisional artifact BEFORE the ~15-min 930-frame pass: if the
+        # driver's bench budget kills this process mid-long-pass, the tail
+        # still carries a parseable headline line (the final line below
+        # supersedes it when the full run completes).
+        print(json.dumps({
+            "metric": "frames_per_sec_512x512_25step_e2e",
+            "value": round(steady_fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(steady_fps / BASELINE_FPS, 2),
+            "detail": {"provisional_before_long_pass": True,
+                       "startup_s": round(startup_s, 1),
+                       "cold_e2e_s": round(cold_s, 1),
+                       "steady_e2e_s": round(steady_s, 1)},
+        }), flush=True)
         from vexpress_tpu.pipelines.context import compute_video_length
 
         long_len = compute_video_length(930, context_frames, context_overlap)  # 924
@@ -185,6 +214,11 @@ def main():
             "long_amortized_fps_incl_startup": round(amortized, 3),
             "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
         }
+        peak = _peak_hbm_mib()
+        if peak is not None:
+            # comparable to the reference's 7,956 MiB V100 peak for the same
+            # 930-frame save-memory workload
+            long_detail["peak_hbm_mib"] = peak
 
     result = {
         "metric": "frames_per_sec_512x512_25step_e2e",
@@ -199,6 +233,7 @@ def main():
             "cold_e2e_fps": round(cold_fps, 3),
             "steady_e2e_s": round(steady_s, 1),
             "steady_e2e_fps": round(steady_fps, 3),
+            **({"peak_hbm_mib_124f": peak_124} if peak_124 else {}),
             **long_detail,
             "device": str(jax.devices()[0]),
         },

@@ -217,6 +217,51 @@ class VExpressPipeline:
         feats = self.v_kps_guider.apply(self.params["v_kps_guider"], x[None])[0]
         return feats.reshape((g, win) + feats.shape[1:])
 
+    def _kps_window_features_sharded(self, kps_raw_np, win_idx_np, mesh, chunk: int = 4):
+        """save_memory for the sharded mode: stream the HOST-resident raw kps
+        frames through the guider a few windows at a time, filling a
+        window-table feature buffer (n_windows, win, h, w, C) that lives
+        SHARDED over the mesh ("dp" on the window axis) — conditioning never
+        exists as an O(video) replicated tensor (the reference's
+        --save_gpu_memory keeps it on CPU, v_express_pipeline.py:473-483).
+        Exact: same guider math as the precomputed path, windows merely
+        arrive pre-gathered. Buffer writes reuse ONE compiled donated
+        dynamic-update-slice program (tail chunks clamp their start and
+        rewrite identical rows)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        win_sh = NamedSharding(mesh, P("dp"))
+        nw, win = win_idx_np.shape
+        H, W = kps_raw_np.shape[1:3]
+        dt = self.m.dtype
+        ch = chunk if nw >= chunk else nw
+
+        probe = jax.eval_shape(
+            lambda x: self._kps_features_window(x),
+            jax.ShapeDtypeStruct((ch, win, H, W, kps_raw_np.shape[-1]), jnp.uint8
+                                 if kps_raw_np.dtype == np.uint8 else dt))
+        buf = jax.device_put(
+            jnp.zeros((nw,) + probe.shape[1:], dt), win_sh)
+
+        key = ("kps_win_setter", buf.shape, ch, tuple(mesh.shape.items()))
+        if key not in self._step_cache:
+            @functools.partial(jax.jit, donate_argnums=0, out_shardings=win_sh)
+            def set_rows(buf, feats, start):
+                return jax.lax.dynamic_update_slice(
+                    buf, feats.astype(buf.dtype), (start, 0, 0, 0, 0))
+
+            self._step_cache[key] = set_rows
+        set_rows = self._step_cache[key]
+
+        starts = sorted({min(s, nw - ch) for s in range(0, nw, ch)})
+        for s in starts:
+            rows = win_idx_np[s : s + ch]
+            raw = jnp.asarray(kps_raw_np[rows])  # (ch, win, H, W, 3) upload
+            feats = with_compile_retries(
+                self._kps_features_window, raw, label="windowed kps guider")
+            buf = set_rows(buf, feats, jnp.asarray(s, jnp.int32))
+        return buf
+
     @functools.partial(jax.jit, static_argnums=0)
     def _wav2vec2_encode_prenorm(self, waveform: jax.Array) -> jax.Array:
         """(1, T_bucket) pre-normalized waveform -> (T', hidden)."""
@@ -558,20 +603,34 @@ class VExpressPipeline:
 
         idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
         w_dev = [jnp.asarray(win_w[i]) for i in range(n_groups)]
+
+        # save_memory (the reference's --save_gpu_memory analog,
+        # v_express_pipeline.py:473-483: conditioning lives on CPU): guider
+        # features are computed per window group ON THE FLY — no O(video)
+        # feature tensor in HBM. The raw uint8 window groups are CACHED on
+        # device when they fit a modest budget (924 frames ≈ 0.9 GB uint8 vs
+        # 2.4 GB bf16 features): re-uploading them per (step, group) costs
+        # ~19 MB × groups × steps over the ~50 MB/s tunnel — measured ~25% of
+        # the 924-frame long-bench wall time (r3). Past the budget, fall back
+        # to per-step upload (bounded memory at any clip length).
+        raw_groups = None
+        if save_memory:
+            budget = int(os.environ.get("VEXPRESS_SAVEMEM_DEV_CACHE_MB", "2048")) << 20
+            win_table_bytes = kps_raw_host.dtype.itemsize * kps_raw_host[0].size \
+                * int(win_idx.size)
+            if win_table_bytes <= budget:
+                raw_groups = [jnp.asarray(kps_raw_host[win_idx[gi]])
+                              for gi in range(n_groups)]
+
         for i, t in enumerate(timesteps):
             tt = jnp.asarray(int(t))
             acc = jnp.zeros_like(latents, dtype=jnp.float32)
             for gi in range(n_groups):
                 if save_memory:
-                    # the reference's --save_gpu_memory analog
-                    # (v_express_pipeline.py:473-483: conditioning lives on
-                    # CPU): RAW frames stay host-resident; the current window
-                    # group (uint8, ~18 MB at 512x512) uploads and the guider
-                    # features are computed on the fly — no O(video) feature
-                    # tensor in HBM, none downloaded over the tunnel
+                    raw = (raw_groups[gi] if raw_groups is not None
+                           else jnp.asarray(kps_raw_host[win_idx[gi]]))
                     kps_arg = with_compile_retries(
-                        self._kps_features_window,
-                        jnp.asarray(kps_raw_host[win_idx[gi]]),
+                        self._kps_features_window, raw,
                         label="windowed kps guider")
                 else:
                     kps_arg = kps_feat
@@ -592,7 +651,8 @@ class VExpressPipeline:
     def _denoise_sharded_piecewise(self, latents, timesteps, win_idx, win_w,
                                    kps_feat, audio_tok, ref_feats, ref_scale,
                                    audio_scale, num_inference_steps,
-                                   guidance_scale, mesh, progress_callback=None):
+                                   guidance_scale, mesh, progress_callback=None,
+                                   kps_pregathered=False):
         """Window-parallel inference built on the per-block piecewise programs.
 
         The padded window table is the UNet batch axis: `gather` emits it
@@ -616,12 +676,15 @@ class VExpressPipeline:
         repl = NamedSharding(mesh, P())
 
         cache_key = ("sharded_piecewise", num_inference_steps, float(guidance_scale),
-                     win_idx.shape, int(latents.shape[0]), tuple(mesh.shape.items()))
+                     win_idx.shape, int(latents.shape[0]), tuple(mesh.shape.items()),
+                     kps_pregathered)
         if cache_key not in self._step_cache:
             @functools.partial(jax.jit, out_shardings=(win_sh, win_sh, win_sh))
             def gather(latents, w_idx, kps_feat, audio_tok):
                 lat = latents[w_idx].astype(dt)
-                kps = kps_feat[w_idx].astype(dt)
+                # save_memory: kps arrives as the window-table feature buffer
+                # (already gathered AND mesh-sharded; _kps_window_features_sharded)
+                kps = (kps_feat if kps_pregathered else kps_feat[w_idx]).astype(dt)
                 aud = audio_tok[w_idx].astype(dt)
                 if do_cfg:
                     lat = jnp.concatenate([lat, lat], axis=0)
@@ -648,7 +711,8 @@ class VExpressPipeline:
         # conditioning/latents/params replicated across the mesh; window
         # tables too (the gather/scatter index math is cheap and local)
         latents = jax.device_put(latents, repl)
-        kps_feat = jax.device_put(kps_feat, repl)
+        if not kps_pregathered:  # the pregathered buffer is ALREADY win-sharded
+            kps_feat = jax.device_put(kps_feat, repl)
         audio_tok = jax.device_put(audio_tok, repl)
         ref_feats = tuple(jax.device_put(r, repl) for r in ref_feats)
         idx_dev = jax.device_put(np.asarray(win_idx), repl)
@@ -794,8 +858,8 @@ class VExpressPipeline:
         do_cfg = guidance_scale > 1.0
         dt = self.m.dtype
 
-        if save_memory and mode != "streamed":
-            raise ValueError("save_memory requires mode='streamed'")
+        if save_memory and mode not in ("streamed", "sharded"):
+            raise ValueError("save_memory requires mode='streamed' or 'sharded'")
 
         # uint8 kps frames upload raw (4x less tunnel traffic) and normalize
         # on device inside _kps_features; float inputs upload as compute dtype.
@@ -935,13 +999,24 @@ class VExpressPipeline:
                     0, video_length + l_pad, context_frames, 1, context_overlap))
             win_idx_np, win_w_np = pad_window_set(
                 windows, inv_counts, mesh.shape["dp"], window_group, pad_to=pad_to)
+            if save_memory and not piecewise:
+                raise ValueError("save_memory with mode='sharded' requires the "
+                                 "piecewise path (the TPU deployment mode)")
             if piecewise:
                 # per-block SPMD programs (the mode that deploys on real TPU —
                 # the monolithic shard_map UNet cannot be remote-compiled)
+                kps_arg = kps_feat
+                if save_memory:
+                    # window-table guider features, built by streaming host
+                    # frames through the guider and stored SHARDED over the
+                    # mesh — no O(video) replicated conditioning tensor
+                    kps_arg = self._kps_window_features_sharded(
+                        kps_images, win_idx_np, mesh)
                 latents = self._denoise_sharded_piecewise(
-                    latents, timesteps, win_idx_np, win_w_np, kps_feat, audio_tok,
+                    latents, timesteps, win_idx_np, win_w_np, kps_arg, audio_tok,
                     ref_feats, ref_scale, audio_scale, num_inference_steps,
                     guidance_scale, mesh, progress_callback,
+                    kps_pregathered=save_memory,
                 )
                 if l_pad:
                     latents = latents[:video_length]
