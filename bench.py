@@ -185,8 +185,11 @@ def main():
         # driver's bench budget kills this process mid-long-pass, the tail
         # still carries a parseable headline line (the final line below
         # supersedes it when the full run completes).
+        # Distinct metric name + stderr: stdout carries exactly ONE line with
+        # the real metric key (the contract in the module docstring); a
+        # harness grepping for the first match can't pick up this one.
         print(json.dumps({
-            "metric": "frames_per_sec_512x512_25step_e2e",
+            "metric": "frames_per_sec_512x512_25step_e2e_provisional",
             "value": round(steady_fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(steady_fps / BASELINE_FPS, 2),
@@ -194,7 +197,7 @@ def main():
                        "startup_s": round(startup_s, 1),
                        "cold_e2e_s": round(cold_s, 1),
                        "steady_e2e_s": round(steady_s, 1)},
-        }), flush=True)
+        }), file=sys.stderr, flush=True)
         from vexpress_tpu.pipelines.context import compute_video_length
 
         long_len = compute_video_length(930, context_frames, context_overlap)  # 924

@@ -21,7 +21,6 @@ import importlib.machinery
 import importlib.util
 import os
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -39,41 +38,21 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _zero_module(module):
-    # matches /root/reference/modules/motion_module.py:15-19
-    for p in module.parameters():
-        p.detach().zero_()
-    return module
-
-
 def _install_ref_package():
-    """Register /root/reference/modules as an importable package with the
-    minimal stubs its diffusers-free files need (diffusers.models.modeling_utils
-    .ModelMixin -> nn.Module; .motion_module -> zero_module only)."""
+    """Register /root/reference/modules as an importable package, backed by the
+    pure-torch diffusers stub (tests/diffusers_stub.py) so the reference's
+    core files (attention.py, motion_module.py, mutual_self_attention.py)
+    load VERBATIM — not just the diffusers-free ones."""
     if PKG in sys.modules:
         return
-    if "diffusers" not in sys.modules:
-        diffusers = types.ModuleType("diffusers")
-        models = types.ModuleType("diffusers.models")
-        modeling_utils = types.ModuleType("diffusers.models.modeling_utils")
-        modeling_utils.ModelMixin = torch.nn.Module
-        models.modeling_utils = modeling_utils
-        diffusers.models = models
-        sys.modules["diffusers"] = diffusers
-        sys.modules["diffusers.models"] = models
-        sys.modules["diffusers.models.modeling_utils"] = modeling_utils
+    from . import diffusers_stub
+
+    diffusers_stub.install()
 
     spec = importlib.machinery.ModuleSpec(PKG, None, is_package=True)
     spec.submodule_search_locations = [os.path.join(REF, "modules")]
     pkg = importlib.util.module_from_spec(spec)
     sys.modules[PKG] = pkg
-
-    # v_kps_guider does `from .motion_module import zero_module`; the real
-    # motion_module needs substantive diffusers code, so provide just the
-    # 4-line helper it actually uses.
-    mm = types.ModuleType(f"{PKG}.motion_module")
-    mm.zero_module = _zero_module
-    sys.modules[f"{PKG}.motion_module"] = mm
 
 
 def _ref(name):

@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import attention as _attention_mod
 from ..ops.attention import Attention
 from ..ops.layers import FeedForward
 
@@ -166,8 +167,7 @@ class TemporalBasicTransformerBlock(nn.Module):
                 self.dim, self.heads, self.dim_head, out_kernel_zero_init=True,
                 dtype=self.dtype, name="attn_temp",
             )
-            import os as _os
-            if _os.environ.get("VEXPRESS_TEMPORAL_FOLDED", "1") == "1":
+            if _attention_mod.TEMPORAL_FOLDED:  # read once at import, see ops/attention.py
                 x = x + attn_temp(norm("norm_temp")(x), temporal_frames=frames)
             else:
                 bf, d, c = x.shape

@@ -11,12 +11,11 @@ length F (<= max_len=32), which tiles cleanly onto the MXU.
 
 from __future__ import annotations
 
-import os as _os
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops import attention as _attention_mod
 from ..ops.attention import Attention
 from ..ops.layers import FeedForward, get_sinusoidal_positional_encoding
 from .blocks import group_norm
@@ -49,7 +48,7 @@ class TemporalTransformerBlock(nn.Module):
         # einsum batch dims — drops 4 materialized full-tensor transposes per
         # attention block (measured 15% of the block at @64; ops/attention.py).
         # VEXPRESS_TEMPORAL_FOLDED=0 restores the reference-shaped rearrange.
-        folded = _os.environ.get("VEXPRESS_TEMPORAL_FOLDED", "1") == "1"
+        folded = _attention_mod.TEMPORAL_FOLDED  # read once at import, see ops/attention.py
         for i in range(self.num_attention_blocks):
             n = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=f"norms_{i}")(x)
             attn = Attention(

@@ -35,6 +35,13 @@ import os as _os
 
 _USE_FLASH = _os.environ.get("VEXPRESS_FLASH", "1") == "1"
 
+# Read ONCE at import time: jit caches key on the traced program, so flipping
+# the env var mid-process would silently not affect already-compiled shapes.
+# Set VEXPRESS_TEMPORAL_FOLDED=0 BEFORE importing vexpress_tpu to restore the
+# reference-shaped (b f) d c -> (b d) f c rearrange path. Tests may
+# monkeypatch this module attribute (and must then avoid reusing jit caches).
+TEMPORAL_FOLDED = _os.environ.get("VEXPRESS_TEMPORAL_FOLDED", "1") == "1"
+
 
 def _flash_eligible(lq: int, lk: int) -> bool:
     if not _USE_FLASH:

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Any, Dict, Optional
 
 import jax
@@ -126,8 +127,26 @@ class VExpressPipeline:
         self.audio_encoder = Wav2Vec2Model(models.wav2vec2_config, dtype=dt)
         self.audio_projection = AudioProjection(dtype=dt, **models.audio_projection_kwargs)
         self.scheduler = scheduler or DDIMScheduler()
-        self.params = params
         self._step_cache: Dict[Any, Any] = {}
+        self._params_gen = 0
+        self.params = params
+
+    # params is a property so reassignment (e.g. loading a new checkpoint)
+    # bumps a generation counter and evicts replicated device copies keyed on
+    # the old tree — id()-based keys could collide after GC and the stale
+    # replicated UNet would pin HBM forever.
+    @property
+    def params(self) -> Dict[str, Any]:
+        return self._params
+
+    @params.setter
+    def params(self, value: Dict[str, Any]) -> None:
+        self._params = value
+        self._params_gen += 1
+        stale = [k for k in self._step_cache
+                 if isinstance(k, tuple) and k and k[0] == "unet_params_repl"]
+        for k in stale:
+            del self._step_cache[k]
 
     # ------------------------------------------------------------ precompute
 
@@ -717,7 +736,7 @@ class VExpressPipeline:
         ref_feats = tuple(jax.device_put(r, repl) for r in ref_feats)
         idx_dev = jax.device_put(np.asarray(win_idx), repl)
         w_dev = jax.device_put(np.asarray(win_w), repl)
-        pkey = ("unet_params_repl", id(self.params), tuple(mesh.shape.items()))
+        pkey = ("unet_params_repl", self._params_gen, tuple(mesh.shape.items()))
         if pkey not in self._step_cache:
             self._step_cache[pkey] = jax.device_put(self.params["denoising_unet"], repl)
         unet_params = self._step_cache[pkey]

@@ -307,19 +307,31 @@ class TalkingFaceVideoDataset:
                     seq, epoch, idx = idx_q.get(timeout=0.5)
                 except queue.Empty:
                     continue
-                rng = random.Random(_mix_seed(self.seed, epoch, idx))
+                # Once a seq slot is claimed it MUST be emitted (even as
+                # None) or the reorder buffer blocks forever waiting for it —
+                # so the ENTIRE body (not just get_sample) funnels through the
+                # finally-emit. BaseException included: a KeyboardInterrupt
+                # landing in this thread still emits before the thread dies.
+                sample = None
+                fatal = False
                 try:
+                    rng = random.Random(_mix_seed(self.seed, epoch, idx))
                     sample = self.get_sample(idx, rng)
                 except Exception:
                     sample = None
-                # bad samples still emit their sequence slot (as None) so the
-                # reorder buffer never stalls waiting for a skipped index
-                while not stop.is_set():
-                    try:
-                        q.put((seq, sample), timeout=0.5)
-                        break
-                    except queue.Full:
-                        continue
+                except BaseException:
+                    fatal = True
+                finally:
+                    # bad samples still emit their sequence slot (as None) so
+                    # the reorder buffer never stalls on a skipped index
+                    while not stop.is_set():
+                        try:
+                            q.put((seq, sample), timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                if fatal:
+                    return
 
         threads = [threading.Thread(target=feeder, daemon=True)]
         threads += [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(num_workers)]
@@ -333,7 +345,18 @@ class TalkingFaceVideoDataset:
             samples = []
             while True:
                 while next_seq not in buffered:
-                    seq, sample = q.get()
+                    try:
+                        seq, sample = q.get(timeout=5.0)
+                    except queue.Empty:
+                        # liveness check: if every worker died (or the feeder
+                        # stopped everything) the slot will never arrive —
+                        # fail loudly instead of hanging the training loop.
+                        if stop.is_set() or not any(
+                                t.is_alive() for t in threads[1:]):
+                            raise RuntimeError(
+                                f"dataset workers dead while waiting for "
+                                f"sample seq {next_seq}")
+                        continue
                     buffered[seq] = sample
                 sample = buffered.pop(next_seq)
                 next_seq += 1
