@@ -124,9 +124,15 @@ def remap_lineage(state_dict: Mapping, state_dict_type: str) -> Dict:
             for part in ("to_q", "to_k", "to_v", "to_out"):
                 tgt = f"attn2.{part}"
                 if tgt in name:
+                    # the reference indexes unconditionally (train.py:131-149)
+                    # — a malformed old_attn checkpoint must fail loudly, not
+                    # silently keep the SD text-attention weights in attn2
                     src = name.replace(tgt, f"attn2.processor.{part}_aud")
-                    if src in state_dict:
-                        out[name] = state_dict[src]
+                    if src not in state_dict:
+                        raise KeyError(
+                            f"old_attn checkpoint has {name} but no {src}; "
+                            "is this really an old_attn-lineage state dict?")
+                    out[name] = state_dict[src]
     return out
 
 
