@@ -37,6 +37,20 @@ os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
 
 BASELINE_FPS = 0.36
 
+# REAL FLOPs of one production denoise window step (CFG batch 2 x 24-frame
+# window, 64x64 latents, zero-KV CFG fast path traced), counted by XLA's own
+# cost model — tools/unet_step_flops.py, re-run it if the model changes.
+WINDOW_STEP_GFLOP = 47568.5
+PEAK_TFLOPS = 197.0  # v5e bf16
+
+
+def _mfu_pct(n_window_steps: int, seconds: float) -> float:
+    """All-inclusive achieved MFU: total denoise FLOPs over the WHOLE wall
+    time (incl. conditioning/decode/IO) against v5e bf16 peak — a floor on
+    the denoise-loop MFU, directly comparable across rounds."""
+    return round(n_window_steps * WINDOW_STEP_GFLOP * 1e9
+                 / seconds / (PEAK_TFLOPS * 1e12) * 100, 1)
+
 
 def _require_live_backend(timeout_s: float = 180.0):
     """Fail fast (instead of hanging forever) if the TPU tunnel is dead.
@@ -210,12 +224,15 @@ def main():
                                          "save_memory": True})
         assert video_long[0].shape == (long_len, height, width)
         amortized = long_len / (startup_s + long_s)
+        n_long_windows = len(compute_context_windows(
+            long_len, context_frames, context_overlap)[0])
         long_detail = {
             "long_video_length": long_len,
             "long_e2e_s": round(long_s, 1),
             "long_e2e_fps": round(long_len / long_s, 3),
             "long_amortized_fps_incl_startup": round(amortized, 3),
             "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
+            "long_whole_run_mfu_pct": _mfu_pct(n_long_windows * num_steps, long_s),
         }
         peak = _peak_hbm_mib()
         if peak is not None:
@@ -236,6 +253,8 @@ def main():
             "cold_e2e_fps": round(cold_fps, 3),
             "steady_e2e_s": round(steady_s, 1),
             "steady_e2e_fps": round(steady_fps, 3),
+            "window_step_gflop": WINDOW_STEP_GFLOP,
+            "steady_whole_run_mfu_pct": _mfu_pct(n_windows * num_steps, steady_s),
             **({"peak_hbm_mib_124f": peak_124} if peak_124 else {}),
             **long_detail,
             "device": str(jax.devices()[0]),

@@ -32,7 +32,10 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--max_steps_override", type=int, default=0)
-    parser.add_argument("--dtype", type=str, default="fp32", help="compute dtype {fp32, bf16}")
+    parser.add_argument("--dtype", type=str, default="",
+                        help="compute dtype {fp32, bf16, fp16}; default: the "
+                             "config's solver.mixed_precision / weight_dtype "
+                             "(fp16 maps to bf16 on TPU), else fp32")
     parser.add_argument("--piecewise", type=str, default="auto", choices=["auto", "on", "off"],
                         help="block-granular backprop (needed on TPUs whose compiler cannot "
                              "build whole-model fwd+bwd programs); auto = on for tpu backend")
@@ -52,6 +55,20 @@ def main():
 
     cfg = load_yaml(args.config)
     data, solver, mt = cfg["data"], cfg["solver"], cfg["module_training"]
+
+    # config-parity hardening: a VERBATIM reference training_configs/*.yaml
+    # must route correctly; unknown keys warn instead of vanishing
+    from vexpress_tpu.train.config import (
+        check_config_keys,
+        effective_learning_rate,
+        resolve_dtype,
+        scheduler_kwargs,
+        validate_config,
+    )
+
+    validate_config(cfg)
+    for w in check_config_keys(cfg):
+        print(f"[vexpress] WARNING: {w}", file=sys.stderr)
 
     import jax
     import jax.numpy as jnp
@@ -110,7 +127,12 @@ def main():
     )
     from vexpress_tpu.utils.observability import MetricsLogger, StepTimer
 
-    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    dtype_name = resolve_dtype(cfg, args.dtype)
+    dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16}[dtype_name]
+    if (args.dtype or cfg.get("solver", {}).get("mixed_precision")
+            or cfg.get("weight_dtype")) in ("fp16",):
+        print("[vexpress] fp16 requested -> using bf16 (TPU mixed-precision "
+              "format; same exponent range as fp32, no loss scaler)")
     models = default_pipeline_models(dtype=dtype)
 
     # optional per-module size overrides (smoke tests, research variants)
@@ -129,6 +151,7 @@ def main():
         )
     pipe = load_pipeline(
         models=models,
+        base_model_path=cfg.get("base_model_path") or None,
         vae_path=cfg.get("vae_model_path") or None,
         audio_encoder_path=cfg.get("audio_encoder_path") or None,
         reference_net_path=cfg.get("reference_net_path") or None,
@@ -147,7 +170,10 @@ def main():
         train_v_kps_guider=mt["v_kps_guider"],
         train_audio_projection=mt["audio_projection"],
         train_motion_module=mt["motion_module"],
-        learning_rate=float(solver["learning_rate"]),
+        # scale_lr (reference train.py:453-461): x grad_accum x train_bs x
+        # data-parallel world size (accelerate num_processes == GPU count;
+        # here: devices in the dp mesh)
+        learning_rate=effective_learning_rate(cfg, max(len(jax.devices()), 1)),
         adam_beta1=float(solver["adam_beta1"]),
         adam_beta2=float(solver["adam_beta2"]),
         adam_weight_decay=float(solver["adam_weight_decay"]),
@@ -242,6 +268,14 @@ def main():
     else:
         print("[vexpress] optimizer: fp32 AdamW")
 
+    # noise_scheduler_kwargs from the config (reference stage yamls carry the
+    # full DDIM table spec; defaults already match, but a config that changes
+    # e.g. beta_end must be honored)
+    from vexpress_tpu.diffusion.ddim import DDIMScheduler
+
+    train_sched = DDIMScheduler(
+        **scheduler_kwargs(cfg, cfg.get("enable_zero_snr", True)))
+
     if use_piecewise:
         from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
 
@@ -249,10 +283,10 @@ def main():
         # sharding propagation: batch arrays carry P("dp"), params replicated,
         # so every per-stage forward/vjp program runs SPMD and parameter
         # gradients are all-reduced inside the programs.
-        trainer = PiecewiseTrainer(pipe, tcfg, tx, mask=mask)
+        trainer = PiecewiseTrainer(pipe, tcfg, tx, mask=mask, scheduler=train_sched)
         print("[vexpress] piecewise (block-granular backprop) training mode")
     else:
-        step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask)
+        step_fn, _ = build_train_step(pipe, tcfg, tx, mask=mask, scheduler=train_sched)
 
     out_dir = cfg.get("output_dir", "./exp_output")
     os.makedirs(out_dir, exist_ok=True)
@@ -298,7 +332,11 @@ def main():
     mesh_desc = dict(mesh.shape) if mesh is not None else {"dp": 1}
     print(f"[vexpress] training {cfg['train_stage']} on mesh {mesh_desc}: "
           f"bs={batch_size}, frames={data['num_frames']}, max_steps={max_steps}")
-    mlog = MetricsLogger(out_dir)
+    # JSONL + MLflow FileStore export (reference logs train_loss to MLflow,
+    # train.py:657; browse with `mlflow ui --backend-store-uri <out>/mlruns`)
+    mlog = MetricsLogger(out_dir, mlflow_dir=os.path.join(out_dir, "mlruns"),
+                         run_name=cfg.get("train_stage", "train"))
+    mlog._mlflow and mlog._mlflow.log_param("config", os.path.abspath(args.config))
     timer = StepTimer()
     t0 = time.time()
     losses = []
@@ -359,7 +397,18 @@ def main():
                     state.params,
                 )
             if is_main:
-                export_modules(export_params, out_dir, step_i + 1)
+                # save_all=False (reference train.py:677-725): export only the
+                # modules this stage trains; motion_module rides with the
+                # denoising unet either way
+                if cfg.get("save_all", True):
+                    export_modules(export_params, out_dir, step_i + 1)
+                else:
+                    trained = {"denoising_unet": mt["denoising_unet"] or mt["motion_module"],
+                               "reference_net": mt["reference_net"],
+                               "v_kps_guider": mt["v_kps_guider"],
+                               "audio_projection": mt["audio_projection"]}
+                    export_modules({k: v for k, v in export_params.items()
+                                    if trained.get(k, False)}, out_dir, step_i + 1)
                 print(f"[vexpress] checkpoint saved: {path}")
 
 

@@ -20,3 +20,114 @@ def test_stage_configs_ship_8bit_adam():
         with open(p) as f:
             cfg = yaml.safe_load(f)
         assert cfg["solver"].get("use_8bit_adam") is True, p
+
+
+REF_CFG_DIR = "/root/reference/training_configs"
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF_CFG_DIR), reason="reference tree not mounted")
+
+
+@needs_ref
+@pytest.mark.parametrize("stage", ["stage_1", "stage_2", "stage_3"])
+def test_verbatim_reference_yaml_routes(stage):
+    """A VERBATIM reference training config must parse with no unknown-key
+    warnings, route mixed_precision/weight_dtype to bf16, validate
+    audio_embeddings_type, and compute the scale_lr learning rate
+    (VERDICT r3 next #7)."""
+    from vexpress_tpu.train.config import (
+        check_config_keys,
+        effective_learning_rate,
+        resolve_dtype,
+        scheduler_kwargs,
+        validate_config,
+    )
+
+    with open(os.path.join(REF_CFG_DIR, f"{stage}.yaml")) as f:
+        cfg = yaml.safe_load(f)
+
+    validate_config(cfg)
+    assert check_config_keys(cfg) == []
+    # all three reference stages ship mixed_precision: fp16 -> bf16 on TPU
+    assert resolve_dtype(cfg) == "bf16"
+    assert resolve_dtype(cfg, "fp32") == "fp32"  # CLI flag wins
+
+    lr = effective_learning_rate(cfg, num_processes=8)
+    base = float(cfg["solver"]["learning_rate"])
+    if cfg["solver"].get("scale_lr", False):
+        assert lr == base * cfg["solver"]["gradient_accumulation_steps"] * \
+            cfg["data"]["train_bs"] * 8
+    else:
+        assert lr == base
+
+    # scheduler kwargs round-trip into our SchedulerConfig
+    from vexpress_tpu.diffusion.ddim import DDIMScheduler
+
+    sched = DDIMScheduler(**scheduler_kwargs(cfg, cfg.get("enable_zero_snr", True)))
+    ns = cfg["noise_scheduler_kwargs"]
+    assert sched.config.num_train_timesteps == ns["num_train_timesteps"]
+    assert sched.config.beta_schedule == ns["beta_schedule"]
+    assert sched.config.prediction_type == (
+        "v_prediction" if cfg.get("enable_zero_snr", True) else "epsilon")
+
+
+def test_unknown_keys_warn_and_bad_values_raise():
+    from vexpress_tpu.train.config import check_config_keys, resolve_dtype, validate_config
+
+    cfg = {"solver": {"learning_rate": 1e-6, "use_8bit_adm": True},  # typo
+           "data": {"train_bs": 1, "audio_embeddings_type": "global"},
+           "frobnicate": 1}
+    warns = check_config_keys(cfg)
+    assert any("use_8bit_adm" in w for w in warns)
+    assert any("frobnicate" in w for w in warns)
+
+    with pytest.raises(ValueError, match="audio_embeddings_type"):
+        validate_config({"data": {"audio_embeddings_type": "framewise"}})
+    with pytest.raises(ValueError, match="dtype"):
+        resolve_dtype({"weight_dtype": "int4"})
+
+
+def test_base_model_path_prior_init(tmp_path):
+    """base_model_path (reference train.py:290-299): the diffusers base unet
+    initializes BOTH the reference net and the denoising net; modules with no
+    2D source (attn1_5, motion) keep their init."""
+    import numpy as np
+    import torch
+
+    from vexpress_tpu.io.loaders import load_pipeline
+    from vexpress_tpu.io.torch_export import export_to_torch_state_dict, save_torch_checkpoint
+    from vexpress_tpu.io.torch_import import convert_torch_state_dict
+
+    from .oracles.torch_unet import OUNet
+    from .test_parity_unet import TINY
+    from .utils import make_tiny_pipeline
+
+    torch.manual_seed(1)
+    o2d = OUNet(TINY, temporal=False)
+    sd = export_to_torch_state_dict(convert_torch_state_dict(o2d.state_dict()))
+    unet_dir = tmp_path / "base" / "unet"
+    unet_dir.mkdir(parents=True)
+    save_torch_checkpoint(sd, str(unet_dir / "diffusion_pytorch_model.bin"))
+
+    tiny = make_tiny_pipeline()
+    pipe = load_pipeline(models=tiny.m, base_model_path=str(tmp_path / "base"),
+                         verbose=False)
+
+    def leaf(tree, path):
+        for p in path.split("/"):
+            tree = tree[p]
+        return np.asarray(tree)
+
+    src = convert_torch_state_dict(o2d.state_dict())
+    got_ref = leaf(pipe.params["reference_net"]["params"], "conv_in/kernel")
+    got_den = leaf(pipe.params["denoising_unet"]["params"], "conv_in/kernel")
+    np.testing.assert_allclose(got_ref, src["conv_in"]["kernel"], atol=1e-6)
+    np.testing.assert_allclose(got_den, src["conv_in"]["kernel"], atol=1e-6)
+    # attn1 weights land in the 3D net too; attn1_5 has no 2D source
+    p3d = pipe.params["denoising_unet"]["params"]
+    blk = p3d["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]
+    src_blk = src["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]
+    np.testing.assert_allclose(np.asarray(blk["attn1"]["to_q"]["kernel"]),
+                               src_blk["attn1"]["to_q"]["kernel"], atol=1e-6)
+    assert not np.allclose(np.asarray(blk["attn1_5"]["to_q"]["kernel"]),
+                           src_blk["attn1"]["to_q"]["kernel"])

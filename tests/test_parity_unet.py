@@ -193,3 +193,76 @@ def test_unet_config_from_diffusers_json(tmp_path):
     assert c == UNetConfig.from_diffusers_json(str(p))  # deterministic
     # overrides win over file values
     assert UNetConfig.from_diffusers_json(str(p), cross_attention_dim=32).cross_attention_dim == 32
+
+
+def test_fusion_blocks_midup_bank_accounting():
+    """fusion_blocks="midup" (mutual_self_attention.py:286-305): the reference
+    net captures — and the denoising net consumes — exactly
+    1 + 3*(layers_per_block+1) banks: the mid+up slice of the full ordering.
+    The 2D sample output is unchanged (capture is observation-only)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_CFG, fusion_blocks="midup")
+    lp = cfg.layers_per_block
+    assert cfg.num_ref_features == 1 + 3 * (lp + 1)
+    n_down = 3 * lp
+    assert TINY_CFG.num_ref_features == n_down + cfg.num_ref_features
+    assert cfg.ref_feature_shapes(16, 16) == TINY_CFG.ref_feature_shapes(16, 16)[n_down:]
+
+    o = OUNet(TINY, temporal=False).eval()
+    params = flax_params_from_torch(o)
+    x = jnp.asarray(t2j(torch.randn(1, 4, 16, 16, generator=torch.Generator().manual_seed(5))))
+    t = jnp.zeros((1,), jnp.int32)
+    ctx = jnp.zeros((1, 1, 12))
+
+    out_f, banks_f = ReferenceUNet2D(TINY_CFG).apply(params, x, t, ctx)
+    out_m, banks_m = ReferenceUNet2D(cfg).apply(params, x, t, ctx)
+    assert len(banks_m) == cfg.num_ref_features
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_f), atol=1e-6, rtol=1e-6)
+    for i, (bm, bf) in enumerate(zip(banks_m, banks_f[n_down:])):
+        np.testing.assert_array_equal(np.asarray(bm), np.asarray(bf), err_msg=f"bank {i}")
+
+
+def test_fusion_blocks_midup_denoiser_and_piecewise():
+    """The midup denoising net runs on the midup bank set (monolithic and
+    piecewise paths agree); down blocks take the plain unfused forward."""
+    import dataclasses
+
+    from vexpress_tpu.models.piecewise import PiecewiseUNetRunner
+
+    cfg = dataclasses.replace(TINY_CFG, fusion_blocks="midup")
+    rng = np.random.default_rng(9)
+    B, F, h, w = 2, 2, 8, 8
+    shapes = cfg.ref_feature_shapes(h, w)
+    ref_feats = tuple(jnp.asarray(rng.normal(size=(B, l, c)).astype(np.float32)) for l, c in shapes)
+    sample = jnp.asarray(rng.normal(size=(B, F, h, w, 4)).astype(np.float32))
+    t = jnp.asarray([10, 500])
+    audio = jnp.asarray(rng.normal(size=(B, F, 5, 12)).astype(np.float32))
+    kps = jnp.asarray(rng.normal(size=(B, F, h, w, 8)).astype(np.float32))
+
+    net = DenoisingUNet3D(cfg)
+    key = jax.random.PRNGKey(0)
+    params = net.init(key, sample, t, audio, ref_feats, kps)
+    mono = net.apply(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    assert np.isfinite(np.asarray(mono)).all()
+
+    piece = PiecewiseUNetRunner(cfg).unet3d(params, sample, t, audio, ref_feats, kps, 0.9, 2.0)
+    np.testing.assert_allclose(np.asarray(piece), np.asarray(mono), atol=2e-5, rtol=2e-5)
+
+    # wrong bank count (the full set) must fail loudly
+    full_shapes = TINY_CFG.ref_feature_shapes(h, w)
+    full_feats = tuple(jnp.zeros((B, l, c)) for l, c in full_shapes)
+    try:
+        net.apply(params, sample, t, audio, full_feats, kps)
+        raise AssertionError("expected ValueError for full bank set on midup net")
+    except ValueError as e:
+        assert "num_ref_features" in str(e)
+
+
+def test_fusion_blocks_validation():
+    import dataclasses
+
+    import pytest
+
+    with pytest.raises(ValueError, match="fusion_blocks"):
+        dataclasses.replace(TINY_CFG, fusion_blocks="bogus")

@@ -202,3 +202,32 @@ def test_positional_encoding_matches_reference_code():
     pe_ref = ref_mm.PositionalEncoding(d_model=32, max_len=24).pe.numpy()
     pe_ours = get_sinusoidal_positional_encoding(32, 24)
     assert_close(pe_ours, pe_ref, atol=1e-6, rtol=1e-6)
+
+
+def test_plain_unfused_block_matches_reference_code():
+    """fusion_blocks="midup" leaves down blocks on the ORIGINAL (un-hacked)
+    TemporalBasicTransformerBlock.forward (modules/attention.py:396-479):
+    attn1 self, attn1_5 self on norm1_5, unweighted audio attn2, ff,
+    attn_temp. Our block's ref_kv=None branch must match it."""
+    ref_attention = _ref("attention")
+    from vexpress_tpu.models.blocks import TemporalBasicTransformerBlock
+
+    block = ref_attention.TemporalBasicTransformerBlock(
+        dim=D, num_attention_heads=HEADS, attention_head_dim=DH,
+        cross_attention_dim=CROSS,
+        unet_use_cross_frame_attention=False, unet_use_temporal_attention=True,
+    )
+    _randomize_(block, seed=61)
+    block.eval()
+    hidden = torch.randn(FRAMES, TOK, D, generator=_g(62))
+    audio = torch.randn(FRAMES, AUD_L, CROSS, generator=_g(63))
+    with torch.no_grad():
+        ref_out = block(hidden, encoder_hidden_states=audio, video_length=FRAMES)
+
+    ours = TemporalBasicTransformerBlock(D, HEADS, DH, use_temporal_attention=True)
+    out = ours.apply(
+        flax_params_from_torch(block),
+        jnp.asarray(hidden.numpy()), jnp.asarray(audio.numpy()),
+        None, jnp.float32(1.0), jnp.float32(1.0), frames=FRAMES,
+    )
+    assert_close(out, ref_out.numpy(), atol=5e-5, rtol=5e-5)

@@ -42,3 +42,31 @@ def test_exhausted_retries_reraise(monkeypatch):
 
     with pytest.raises(jax.errors.JaxRuntimeError, match="UNAVAILABLE"):
         with_compile_retries(always_transient, 1, retries=2, wait_s=0)
+
+
+def test_metrics_logger_mlflow_filestore(tmp_path):
+    """MLflow FileStore export (reference train.py:657 logs train_loss to
+    MLflow): metric files carry '<ts_ms> <value> <step>' lines and the
+    meta.yaml files exist where `mlflow ui` looks for them."""
+    import os
+
+    from vexpress_tpu.utils.observability import MetricsLogger
+
+    mlruns = str(tmp_path / "mlruns")
+    mlog = MetricsLogger(str(tmp_path), mlflow_dir=mlruns, run_name="stage_1")
+    mlog.log(1, {"train_loss": 0.5})
+    mlog.log(2, {"train_loss": 0.25, "it_per_s": 3.0})
+    mlog.close()
+
+    assert os.path.isfile(os.path.join(mlruns, "0", "meta.yaml"))
+    runs = [d for d in os.listdir(os.path.join(mlruns, "0")) if d != "meta.yaml"]
+    assert len(runs) == 1
+    run_dir = os.path.join(mlruns, "0", runs[0])
+    meta = open(os.path.join(run_dir, "meta.yaml")).read()
+    assert f"run_id: {runs[0]}" in meta and "run_name: stage_1" in meta
+    lines = open(os.path.join(run_dir, "metrics", "train_loss")).read().splitlines()
+    assert len(lines) == 2
+    ts, value, step = lines[1].split()
+    assert float(value) == 0.25 and int(step) == 2 and int(ts) > 1e12
+    # it_per_s only logged at step 2
+    assert len(open(os.path.join(run_dir, "metrics", "it_per_s")).read().splitlines()) == 1

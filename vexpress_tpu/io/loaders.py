@@ -215,6 +215,7 @@ def _merge(dst, src, path="", unconsumed=None):
 
 def load_pipeline(
     models: Optional[PipelineModels] = None,
+    base_model_path: Optional[str] = None,
     vae_path: Optional[str] = None,
     audio_encoder_path: Optional[str] = None,
     reference_net_path: Optional[str] = None,
@@ -270,6 +271,19 @@ def load_pipeline(
             return path
         log(f"checkpoint path {path} not found — using random init")
         return None
+
+    # base_model_path: diffusers SD prior init (reference train.py:290-299 —
+    # UNet2DConditionModel.from_pretrained + UNet3DConditionModel.
+    # from_pretrained_2d load the base unet into BOTH nets before the stage
+    # checkpoints overlay; attn1_5/norm1_5/motion modules have no 2D source
+    # and keep their init until a lineage remap or motion ckpt supplies them)
+    if base_model_path:
+        f = resolve(os.path.join(base_model_path, "unet")) or resolve(base_model_path)
+        if f:
+            sd = load_torch_checkpoint(f)
+            load_into("reference_net", sd)
+            load_into("denoising_unet", sd)
+            log(f"base model prior init from {f}")
 
     f = resolve(vae_path)
     if f:

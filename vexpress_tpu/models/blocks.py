@@ -142,7 +142,7 @@ class TemporalBasicTransformerBlock(nn.Module):
         self,
         x: jax.Array,
         audio_kv: jax.Array,
-        ref_kv: jax.Array,
+        ref_kv: Optional[jax.Array],  # None: plain unfused forward (midup down blocks)
         ref_scale: jax.Array,
         audio_scale: jax.Array,
         zero_uncond_kv: bool = False,
@@ -152,12 +152,22 @@ class TemporalBasicTransformerBlock(nn.Module):
         norm = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=name)
 
         x = x + attn("attn1")(norm("norm1")(x))
-        x = x + ref_scale * attn("attn1_5")(norm("norm1_5")(x), ref_kv, zero_kv_first_half=zero_uncond_kv)
         # audio attn2 output projection is zero-initialized at construction
         # (attention.py:361) — a fresh model's audio branch starts inert
         attn2 = Attention(self.dim, self.heads, self.dim_head, out_kernel_zero_init=True,
                           dtype=self.dtype, name="attn2")
-        x = x + audio_scale * attn2(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
+        if ref_kv is None:
+            # Outside the fusion set (fusion_blocks="midup", mutual_self_
+            # attention.py:286-294): the reference's PLAIN forward runs
+            # (modules/attention.py:396-479) — attn1_5 self-attends its own
+            # norm1_5 output and neither branch is weight-scaled. The audio
+            # attn2 zero-KV CFG shortcut still applies (uncond audio tokens
+            # are zero regardless of fusion mode).
+            x = x + attn("attn1_5")(norm("norm1_5")(x))
+            x = x + attn2(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
+        else:
+            x = x + ref_scale * attn("attn1_5")(norm("norm1_5")(x), ref_kv, zero_kv_first_half=zero_uncond_kv)
+            x = x + audio_scale * attn2(norm("norm2")(x), audio_kv, zero_kv_first_half=zero_uncond_kv)
         x = x + FeedForward(self.dim, dtype=self.dtype, name="ff")(norm("norm3")(x))
         if self.use_temporal_attention:
             # per-pixel attention over frames (attention.py:466-479); LayerNorm
@@ -223,7 +233,8 @@ class SpatialTransformer(nn.Module):
                     self.in_channels, self.heads, dim_head,
                     use_temporal_attention=self.use_temporal_attention,
                     dtype=self.dtype, name=f"transformer_blocks_{i}"
-                )(hs, encoder_hidden_states, ref_kv[i], ref_scale, audio_scale,
+                )(hs, encoder_hidden_states,
+                  None if ref_kv is None else ref_kv[i], ref_scale, audio_scale,
                   zero_uncond_kv, frames)
             else:
                 hs, bank = BasicTransformerBlock(

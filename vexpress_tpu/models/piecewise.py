@@ -155,8 +155,9 @@ class PiecewiseUNetRunner:
     def _ref_slices(self):
         """Number of ref features consumed per stage, in order."""
         lp = self.cfg.layers_per_block
+        dn = lp if self.cfg.fusion_blocks == "full" else 0  # midup: no down banks
         return {
-            "down_0": lp, "down_1": lp, "down_2": lp, "down_3": 0,
+            "down_0": dn, "down_1": dn, "down_2": dn, "down_3": 0,
             "mid": 1,
             "up_0": 0, "up_1": lp + 1, "up_2": lp + 1, "up_3": lp + 1,
         }
@@ -205,8 +206,13 @@ class PiecewiseUNetRunner:
             block_refs = tuple(refs[cursor : cursor + n_in])
             cursor += n_in
 
-            def down_fn(p, x_, temb_, ctx_, refs_, scales_, block=block):
-                return block.apply(p, x_, temb_, ctx_, RefFeatures(list(refs_)), scales_, f,
+            midup = cfg.fusion_blocks == "midup"
+
+            def down_fn(p, x_, temb_, ctx_, refs_, scales_, block=block, midup=midup):
+                # midup: down blocks are outside the fusion set — refs=None
+                # selects the plain unfused transformer forward
+                r = None if midup else RefFeatures(list(refs_))
+                return block.apply(p, x_, temb_, ctx_, r, scales_, f,
                                    zero_uncond_kv)
 
             fn = self._jit(("down3d", i, b, f, x.shape, zero_uncond_kv), down_fn)
@@ -249,10 +255,13 @@ class PiecewiseUNetRunner:
             n1 = nrefs["up_1"]
             refs_u1 = tuple(refs[cursor : cursor + n1]); cursor += n1
 
+            midup_fuse = cfg.fusion_blocks == "midup"
+
             def midspan_fn(p, x_, temb_, ctx_, r2_, rm_, r1_, scales_):
                 skip_in = x_
+                r2 = None if midup_fuse else RefFeatures(list(r2_))
                 x_, st2 = down2.apply({"params": p["d2"]}, x_, temb_, ctx_,
-                                      RefFeatures(list(r2_)), scales_, f, zero_uncond_kv)
+                                      r2, scales_, f, zero_uncond_kv)
                 x_, st3 = down3.apply({"params": p["d3"]}, x_, temb_, ctx_,
                                       RefFeatures([]), scales_, f, zero_uncond_kv)
                 x_ = mid.apply({"params": p["mid"]}, x_, temb_, ctx_,
@@ -355,10 +364,12 @@ class PiecewiseUNetRunner:
             is_final = i == 3
             block = DownBlock(ch[i], has_attention=not is_final, add_downsample=not is_final, **common)
 
-            def down_fn(p, x_, temb_, ctx_, block=block):
-                refs = RefFeatures()
+            capture = cfg.fusion_blocks == "full"  # midup: no down banks
+
+            def down_fn(p, x_, temb_, ctx_, block=block, capture=capture):
+                refs = RefFeatures() if capture else None
                 out, states = block.apply(p, x_, temb_, ctx_, refs, None, 1)
-                return out, states, tuple(refs.feats)
+                return out, states, tuple(refs.feats) if capture else ()
 
             fn = self._jit(("down2d", i, x.shape), down_fn)
             x, states, new_banks = fn(_sub(params, f"down_blocks_{i}"), x, temb, ctx)

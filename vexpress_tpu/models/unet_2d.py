@@ -60,6 +60,9 @@ class ReferenceUNet2D(nn.Module):
         x = conv(ch[0], 3, "conv_in", dtype=dt)(x)
 
         skips = [x]
+        # midup fusion: down-block banks are never read, so don't capture them
+        # (mutual_self_attention.py:286-294 registers hooks on mid+up only)
+        down_refs = refs if cfg.fusion_blocks == "full" else None
         for i in range(4):
             is_final = i == 3
             x, states = DownBlock(
@@ -68,7 +71,7 @@ class ReferenceUNet2D(nn.Module):
                 add_downsample=not is_final,
                 **common,
                 name=f"down_blocks_{i}",
-            )(x, temb, ctx, refs, None, 1)
+            )(x, temb, ctx, down_refs, None, 1)
             skips.extend(states)
 
         x = MidBlock(

@@ -43,6 +43,13 @@ class UNetConfig:
     # optional post-FF per-pixel temporal attention in every transformer block
     # (inference_v2.yaml:4 unet_use_temporal_attention — off in V-Express)
     unet_use_temporal_attention: bool = False
+    # Which transformer blocks take part in reference-bank fusion
+    # (mutual_self_attention.py:286-305). "full" (every cross-attn block —
+    # what V-Express always uses, v_express_pipeline.py:451-466) or "midup"
+    # (mid+up only; down blocks run the PLAIN TemporalBasicTransformerBlock
+    # forward: self-attn attn1_5, unweighted audio attn2 —
+    # modules/attention.py:396-479).
+    fusion_blocks: str = "full"
     use_motion_module: bool = True
     motion_module_mid_block: bool = True
     motion_num_attention_heads: int = 8
@@ -84,10 +91,17 @@ class UNetConfig:
         kw.update(overrides)
         return cls(**kw)
 
+    def __post_init__(self):
+        if self.fusion_blocks not in ("full", "midup"):
+            raise ValueError(
+                f"fusion_blocks must be 'full' or 'midup', got {self.fusion_blocks!r} "
+                "(mutual_self_attention.py:38 asserts the same)")
+
     @property
     def num_ref_features(self) -> int:
-        """Number of bank features = number of cross-attn transformer blocks."""
-        n_down = 3 * self.layers_per_block  # blocks 0..2 have attention
+        """Number of bank features = number of fused cross-attn transformer
+        blocks: 3*lp + 1 + 3*(lp+1) for "full", 1 + 3*(lp+1) for "midup"."""
+        n_down = 3 * self.layers_per_block if self.fusion_blocks == "full" else 0
         n_mid = 1
         n_up = 3 * (self.layers_per_block + 1)  # up blocks 1..3
         return n_down + n_mid + n_up
@@ -96,10 +110,11 @@ class UNetConfig:
         """(seq_len, channels) of each reference feature at latent res (h, w)."""
         shapes = []
         ch = self.block_out_channels
-        # down blocks with attention: 0, 1, 2 at resolutions /1, /2, /4
-        for i in range(3):
-            h, w = height >> i, width >> i
-            shapes += [(h * w, ch[i])] * self.layers_per_block
+        if self.fusion_blocks == "full":
+            # down blocks with attention: 0, 1, 2 at resolutions /1, /2, /4
+            for i in range(3):
+                h, w = height >> i, width >> i
+                shapes += [(h * w, ch[i])] * self.layers_per_block
         # mid at deepest resolution
         hd, wd = height >> 3, width >> 3
         shapes.append((hd * wd, ch[-1]))
@@ -180,14 +195,17 @@ class DenoisingUNet3D(nn.Module):
         if kps_features is not None:
             x = x + kps_features.reshape(b * f, h, w, ch[0]).astype(dt)
 
-        # down
+        # down — with fusion_blocks="midup" the down blocks consume NO banks:
+        # block_refs=None makes their transformer blocks run the reference's
+        # plain (unfused) forward (mutual_self_attention.py:286-294)
         lp = cfg.layers_per_block
+        midup = cfg.fusion_blocks == "midup"
         cursor = 0
         skips = [x]
         for i in range(4):
             is_final = i == 3
-            n_refs = 0 if is_final else lp
-            block_refs = ref_tuple[cursor : cursor + n_refs]
+            n_refs = 0 if (is_final or midup) else lp
+            block_refs = None if (midup and not is_final) else ref_tuple[cursor : cursor + n_refs]
             cursor += n_refs
             x, states = DB(
                 ch[i],

@@ -81,14 +81,21 @@ class DownBlock(nn.Module):
                     name=f"attentions_{i}",
                 )
                 if self.temporal:
-                    # refs: RefFeatures cursor (piecewise runners) or a plain
+                    # refs: RefFeatures cursor (piecewise runners), a plain
                     # per-block tuple indexed by layer (jittable pytree, used
-                    # by the remat-able monolithic path)
-                    ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
-                    x = st(x, ctx, (ref_i,), scales[0], scales[1], zero_uncond_kv, frames)
+                    # by the remat-able monolithic path), or None — this block
+                    # is outside the fusion set (fusion_blocks="midup") and
+                    # runs the reference's plain unfused forward
+                    if refs is None:
+                        ref_i = None
+                    else:
+                        ref_i = refs.pop() if isinstance(refs, RefFeatures) else refs[i]
+                    x = st(x, ctx, None if ref_i is None else (ref_i,),
+                           scales[0], scales[1], zero_uncond_kv, frames)
                 else:
                     x, banks = st(x, ctx)
-                    refs.push(banks)
+                    if refs is not None:  # None: outside the fusion set, no capture
+                        refs.push(banks)
             if self.temporal and self.use_motion:
                 x = TemporalMotionModule(
                     self.out_channels,

@@ -127,6 +127,7 @@ def window_parallel_step_dynamic(
     mesh: Mesh,
     axis_name: str = "dp",
     window_group: int = 1,
+    eta: float = 0.0,
 ):
     """Build a mesh-sharded blended denoise step with RUNTIME window tables.
 
@@ -176,9 +177,12 @@ def window_parallel_step_dynamic(
         out_specs=P(),
     )
 
-    def step_fn(latents, t, win_idx, win_w, cond):
+    def step_fn(latents, t, win_idx, win_w, cond, noise_key=None):
         acc = sharded_blend(latents, t, win_idx, win_w, cond)
-        return scheduler.step(acc, t, latents, num_inference_steps)
+        # the DDIM update runs OUTSIDE shard_map on replicated latents; a
+        # replicated noise_key draws identical noise on every device
+        return scheduler.step(acc, t, latents, num_inference_steps,
+                              eta=eta, noise_key=noise_key)
 
     return step_fn
 

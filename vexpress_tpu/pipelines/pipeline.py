@@ -55,6 +55,7 @@ def build_blended_denoise_step(
     inv_counts: np.ndarray,
     num_inference_steps: int,
     window_group: int = 1,
+    eta: float = 0.0,
 ):
     """Build one denoise step: gather windows -> predict in groups of
     `window_group` -> scatter-add 1/count-weighted noise preds -> DDIM step.
@@ -79,7 +80,7 @@ def build_blended_denoise_step(
     # blending weight per (window, frame): inv_counts gathered, zero for pads
     win_w = inv_counts[win_idx] * win_mask[..., None]  # (n_groups, g, win)
 
-    def step_fn(latents, t, cond):
+    def step_fn(latents, t, cond, noise_key=None):
         idx = jnp.asarray(win_idx)
         weights = jnp.asarray(win_w)
 
@@ -92,7 +93,8 @@ def build_blended_denoise_step(
 
         acc = jnp.zeros_like(latents, dtype=jnp.float32)
         acc, _ = jax.lax.scan(one_group, acc, jnp.arange(n_groups))
-        return scheduler.step(acc, t, latents, num_inference_steps)
+        return scheduler.step(acc, t, latents, num_inference_steps,
+                              eta=eta, noise_key=noise_key)
 
     return step_fn
 
@@ -671,7 +673,7 @@ class VExpressPipeline:
                                    kps_feat, audio_tok, ref_feats, ref_scale,
                                    audio_scale, num_inference_steps,
                                    guidance_scale, mesh, progress_callback=None,
-                                   kps_pregathered=False):
+                                   kps_pregathered=False, eta=0.0, noise_rng=None):
         """Window-parallel inference built on the per-block piecewise programs.
 
         The padded window table is the UNet batch axis: `gather` emits it
@@ -696,7 +698,7 @@ class VExpressPipeline:
 
         cache_key = ("sharded_piecewise", num_inference_steps, float(guidance_scale),
                      win_idx.shape, int(latents.shape[0]), tuple(mesh.shape.items()),
-                     kps_pregathered)
+                     kps_pregathered, float(eta))
         if cache_key not in self._step_cache:
             @functools.partial(jax.jit, out_shardings=(win_sh, win_sh, win_sh))
             def gather(latents, w_idx, kps_feat, audio_tok):
@@ -721,8 +723,11 @@ class VExpressPipeline:
                 return acc.at[w_idx].add(pred)
 
             @functools.partial(jax.jit, out_shardings=repl)
-            def ddim(acc, t, latents):
-                return self.scheduler.step(acc, t, latents, num_inference_steps)
+            def ddim(acc, t, latents, noise_key=None):
+                # replicated latents + replicated key: every device draws the
+                # same stochastic-DDIM noise
+                return self.scheduler.step(acc, t, latents, num_inference_steps,
+                                           eta=eta, noise_key=noise_key)
 
             self._step_cache[cache_key] = (gather, combine_scatter, ddim)
         gather, combine_scatter, ddim = self._step_cache[cache_key]
@@ -752,7 +757,12 @@ class VExpressPipeline:
             )
             acc = with_compile_retries(
                 combine_scatter, pred, idx_dev, w_dev, latents, label="sharded combine")
-            latents = with_compile_retries(ddim, acc, tt, latents, label="sharded ddim")
+            if eta != 0.0:
+                noise_rng, sub = jax.random.split(noise_rng)
+                latents = with_compile_retries(ddim, acc, tt, latents, sub,
+                                               label="sharded ddim")
+            else:
+                latents = with_compile_retries(ddim, acc, tt, latents, label="sharded ddim")
             if progress_callback is not None:
                 progress_callback(i, int(t))
         return latents
@@ -793,15 +803,19 @@ class VExpressPipeline:
         num_inference_steps: int,
         guidance_scale: float,
         window_group: int,
+        eta: float = 0.0,
     ):
         """One jitted denoise step over all context windows of the video."""
         predict = self._make_window_predict(guidance_scale)
         step_fn = build_blended_denoise_step(
-            predict, self.scheduler, windows, inv_counts, num_inference_steps, window_group
+            predict, self.scheduler, windows, inv_counts, num_inference_steps,
+            window_group, eta=eta,
         )
 
-        def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale):
-            return step_fn(latents, t, (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
+        def wrapped(latents, t, kps_feat, audio_tok, ref_feats, ref_scale, audio_scale,
+                    noise_key=None):
+            return step_fn(latents, t, (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale),
+                           noise_key=noise_key)
 
         return jax.jit(wrapped)
 
@@ -813,6 +827,7 @@ class VExpressPipeline:
         guidance_scale: float,
         window_group: int,
         mesh,
+        eta: float = 0.0,
     ):
         """Window-parallel denoise step: the window axis is sharded over the
         device mesh (each chip runs the UNet on its window shard; weighted
@@ -826,13 +841,14 @@ class VExpressPipeline:
         predict = self._make_window_predict(guidance_scale)
         step_fn = window_parallel_step_dynamic(
             predict, self.scheduler, total_windows, win_size, num_inference_steps,
-            mesh, window_group=window_group,
+            mesh, window_group=window_group, eta=eta,
         )
 
         def wrapped(latents, t, win_idx, win_w, kps_feat, audio_tok, ref_feats,
-                    ref_scale, audio_scale):
+                    ref_scale, audio_scale, noise_key=None):
             return step_fn(latents, t, win_idx, win_w,
-                           (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale))
+                           (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale),
+                           noise_key=noise_key)
 
         return jax.jit(wrapped)
 
@@ -974,8 +990,6 @@ class VExpressPipeline:
             t_start = max(num_inference_steps - init_timestep, 0)
             timesteps = timesteps[t_start:]
 
-        if eta != 0.0 and mode != "streamed":
-            raise ValueError("eta > 0 (stochastic DDIM) is supported in mode='streamed'")
         if mode == "streamed":
             latents = self._denoise_streamed(
                 latents, timesteps, windows, inv_counts, kps_feat, audio_tok, ref_feats,
@@ -988,16 +1002,22 @@ class VExpressPipeline:
                 latents = latents[:video_length]
         elif mode == "fused":
             cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
-                         float(guidance_scale), window_group)
+                         float(guidance_scale), window_group, float(eta))
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_denoise_step(
-                    windows, inv_counts, num_inference_steps, guidance_scale, window_group
+                    windows, inv_counts, num_inference_steps, guidance_scale, window_group,
+                    eta=eta,
                 )
             step = self._step_cache[cache_key]
+            noise_rng = jax.random.fold_in(key, 1) if eta != 0.0 else None
             for i, t in enumerate(timesteps):
+                extra = ()
+                if eta != 0.0:
+                    noise_rng, sub = jax.random.split(noise_rng)
+                    extra = (sub,)
                 latents = with_compile_retries(
                     step, latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
-                    ref_scale, audio_scale, label="fused denoise step")
+                    ref_scale, audio_scale, *extra, label="fused denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))
         elif mode == "sharded":
@@ -1035,7 +1055,8 @@ class VExpressPipeline:
                     latents, timesteps, win_idx_np, win_w_np, kps_arg, audio_tok,
                     ref_feats, ref_scale, audio_scale, num_inference_steps,
                     guidance_scale, mesh, progress_callback,
-                    kps_pregathered=save_memory,
+                    kps_pregathered=save_memory, eta=eta,
+                    noise_rng=jax.random.fold_in(key, 1) if eta != 0.0 else None,
                 )
                 if l_pad:
                     latents = latents[:video_length]
@@ -1046,11 +1067,11 @@ class VExpressPipeline:
                                            as_yuv420=output_yuv420)
             cache_key = ("sharded", int(latents.shape[0]), win_idx_np.shape,
                          num_inference_steps, float(guidance_scale), window_group,
-                         tuple(mesh.shape.items()))
+                         tuple(mesh.shape.items()), float(eta))
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_sharded_denoise_step(
                     int(win_idx_np.shape[0]), int(win_idx_np.shape[1]),
-                    num_inference_steps, guidance_scale, window_group, mesh,
+                    num_inference_steps, guidance_scale, window_group, mesh, eta=eta,
                 )
             step = self._step_cache[cache_key]
             # pin every loop input to the replicated mesh sharding up front:
@@ -1067,10 +1088,16 @@ class VExpressPipeline:
             audio_scale = jax.device_put(audio_scale, repl)
             idx_dev = jax.device_put(jnp.asarray(win_idx_np), repl)
             w_dev = jax.device_put(jnp.asarray(win_w_np), repl)
+            noise_rng = (jax.device_put(jax.random.fold_in(key, 1), repl)
+                         if eta != 0.0 else None)
             for i, t in enumerate(timesteps):
+                extra = ()
+                if eta != 0.0:
+                    noise_rng, sub = jax.random.split(noise_rng)
+                    extra = (sub,)
                 latents = with_compile_retries(
                     step, latents, jnp.asarray(int(t)), idx_dev, w_dev, kps_feat,
-                    audio_tok, ref_feats, ref_scale, audio_scale,
+                    audio_tok, ref_feats, ref_scale, audio_scale, *extra,
                     label="sharded denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))

@@ -153,6 +153,12 @@ class PiecewiseUNetGrad:
     )
 
     def __init__(self, config: UNetConfig, dtype=jnp.float32):
+        if config.fusion_blocks != "full":
+            raise NotImplementedError(
+                "PiecewiseUNetGrad supports fusion_blocks='full' only (all "
+                "V-Express training configs use full fusion, reference "
+                "train.py:422-434); train midup models with the monolithic "
+                "path (cli/train.py --piecewise off).")
         self.cfg = config
         self.dtype = dtype
         self._chains: Dict[Any, StageChain] = {}

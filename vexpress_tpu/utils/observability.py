@@ -16,21 +16,88 @@ from typing import Dict, Optional
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics: {"step": i, "time": t, **metrics}."""
+    """Append-only JSONL metrics: {"step": i, "time": t, **metrics}.
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+    With `mlflow_dir` set, ALSO writes an MLflow FileStore-layout `mlruns/`
+    tree (the reference logs train_loss per global step to MLflow,
+    train.py:230, 515-522, 657) — readable by `mlflow ui
+    --backend-store-uri <dir>` on any machine with mlflow installed, with no
+    mlflow dependency here."""
+
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 mlflow_dir: Optional[str] = None, run_name: str = "train"):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, filename)
         self._fh = open(self.path, "a", buffering=1)
         self._t0 = time.time()
+        self._mlflow = MlflowFileStore(mlflow_dir, run_name) if mlflow_dir else None
 
     def log(self, step: int, metrics: Dict[str, float]) -> None:
         rec = {"step": int(step), "time": round(time.time() - self._t0, 3)}
         rec.update({k: float(v) for k, v in metrics.items()})
         self._fh.write(json.dumps(rec) + "\n")
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(int(step), rec)
 
     def close(self) -> None:
         self._fh.close()
+
+
+class MlflowFileStore:
+    """Minimal MLflow FileStore writer (format: mlruns/<exp>/<run>/metrics/
+    <key> with '<ts_ms> <value> <step>' lines + meta.yaml files). Covers the
+    subset `mlflow ui` needs to browse runs and plot metrics."""
+
+    def __init__(self, root: str, run_name: str = "train", experiment: str = "0"):
+        import uuid
+
+        self.exp_dir = os.path.join(root, experiment)
+        self.run_id = uuid.uuid4().hex
+        self.run_dir = os.path.join(self.exp_dir, self.run_id)
+        self.metrics_dir = os.path.join(self.run_dir, "metrics")
+        os.makedirs(self.metrics_dir, exist_ok=True)
+        os.makedirs(os.path.join(self.run_dir, "params"), exist_ok=True)
+        os.makedirs(os.path.join(self.run_dir, "tags"), exist_ok=True)
+        os.makedirs(os.path.join(self.run_dir, "artifacts"), exist_ok=True)
+        now_ms = int(time.time() * 1000)
+        exp_meta = os.path.join(self.exp_dir, "meta.yaml")
+        if not os.path.exists(exp_meta):
+            with open(exp_meta, "w") as f:
+                f.write(
+                    f"artifact_location: file://{os.path.abspath(self.exp_dir)}\n"
+                    f"creation_time: {now_ms}\n"
+                    f"experiment_id: '{experiment}'\n"
+                    f"last_update_time: {now_ms}\n"
+                    "lifecycle_stage: active\n"
+                    "name: Default\n")
+        with open(os.path.join(self.run_dir, "meta.yaml"), "w") as f:
+            f.write(
+                f"artifact_uri: file://{os.path.abspath(self.run_dir)}/artifacts\n"
+                "end_time: null\n"
+                "entry_point_name: ''\n"
+                f"experiment_id: '{experiment}'\n"
+                "lifecycle_stage: active\n"
+                f"run_id: {self.run_id}\n"
+                f"run_name: {run_name}\n"
+                f"run_uuid: {self.run_id}\n"
+                "source_name: ''\n"
+                "source_type: 4\n"
+                "source_version: ''\n"
+                f"start_time: {now_ms}\n"
+                "status: 1\n"
+                "user_id: ''\n")
+
+    def log_metrics(self, step: int, metrics: Dict[str, float]) -> None:
+        ts = int(time.time() * 1000)
+        for key, value in metrics.items():
+            if key == "step":
+                continue
+            with open(os.path.join(self.metrics_dir, key), "a") as f:
+                f.write(f"{ts} {float(value)} {step}\n")
+
+    def log_param(self, key: str, value) -> None:
+        with open(os.path.join(self.run_dir, "params", key), "w") as f:
+            f.write(str(value))
 
 
 @contextlib.contextmanager
