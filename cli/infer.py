@@ -83,6 +83,11 @@ def parse_args():
     p.add_argument("--unet_config_path", type=str, default="",
                    help="optional diffusers UNet config.json; overrides the "
                         "built-in SD1.5 geometry (reference inference.py:30)")
+    p.add_argument("--inference_config_path", type=str, default="",
+                   help="optional inference yaml in the reference's "
+                        "inference_v2.yaml format (unet_additional_kwargs + "
+                        "noise_scheduler_kwargs; the reference hardcodes the "
+                        "path, inference.py:178). Defaults already equal it.")
     p.add_argument("--model_overrides_path", type=str, default="",
                    help="optional YAML of per-module size overrides "
                         "({unet:, vae:, wav2vec2:, audio_projection:, guider:}; "
@@ -168,8 +173,20 @@ def main():
         with open(args.model_overrides_path) as fh:
             models = apply_model_overrides(models, yaml.safe_load(fh) or {})
 
+    scheduler = None
+    if args.inference_config_path:
+        import dataclasses as _dc
+
+        from vexpress_tpu.io.inference_config import load_inference_config
+
+        unet_overrides, scheduler = load_inference_config(args.inference_config_path)
+        if unet_overrides:
+            models = _dc.replace(
+                models, unet_config=_dc.replace(models.unet_config, **unet_overrides))
+
     pipeline = load_pipeline(
         models=models,
+        scheduler=scheduler,
         vae_path=args.vae_path,
         audio_encoder_path=args.audio_encoder_path,
         reference_net_path=args.reference_net_path,

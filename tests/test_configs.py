@@ -131,3 +131,42 @@ def test_base_model_path_prior_init(tmp_path):
                                src_blk["attn1"]["to_q"]["kernel"], atol=1e-6)
     assert not np.allclose(np.asarray(blk["attn1_5"]["to_q"]["kernel"]),
                            src_blk["attn1"]["to_q"]["kernel"])
+
+
+def test_verbatim_inference_v2_yaml_routes():
+    """The reference's ACTUAL inference_v2.yaml loads and maps onto UNetConfig
+    + SchedulerConfig; its values all equal our defaults (that's the point —
+    the file IS the spec our defaults mirror)."""
+    path = "/root/reference/inference_v2.yaml"
+    if not os.path.isfile(path):
+        pytest.skip("reference tree not mounted")
+
+    from vexpress_tpu.io.inference_config import load_inference_config
+    from vexpress_tpu.models.unet_3d import UNetConfig
+
+    overrides, scheduler = load_inference_config(path)
+    cfg = UNetConfig(**overrides)
+    assert cfg.use_motion_module and cfg.motion_module_mid_block
+    assert cfg.motion_num_attention_heads == 8
+    assert cfg.motion_num_transformer_block == 1
+    assert cfg.motion_max_len == 32
+    assert not cfg.unet_use_temporal_attention
+    sc = scheduler.config
+    assert (sc.beta_start, sc.beta_end, sc.beta_schedule) == (0.00085, 0.012, "scaled_linear")
+    assert sc.prediction_type == "v_prediction" and sc.rescale_betas_zero_snr
+    assert sc.timestep_spacing == "trailing" and sc.steps_offset == 1
+    # defaults equal the file: no override changes anything
+    assert cfg == UNetConfig()
+
+
+def test_inference_config_rejects_unsupported_options(tmp_path):
+    from vexpress_tpu.io.inference_config import load_inference_config
+
+    p = tmp_path / "inf.yaml"
+    p.write_text(
+        "unet_additional_kwargs:\n  unet_use_cross_frame_attention: true\n")
+    with pytest.raises(ValueError, match="cross_frame"):
+        load_inference_config(str(p))
+    p.write_text("sampler: PNDM\n")
+    with pytest.raises(ValueError, match="sampler"):
+        load_inference_config(str(p))
