@@ -336,7 +336,7 @@ def main():
     # train.py:657; browse with `mlflow ui --backend-store-uri <out>/mlruns`)
     mlog = MetricsLogger(out_dir, mlflow_dir=os.path.join(out_dir, "mlruns"),
                          run_name=cfg.get("train_stage", "train"))
-    mlog._mlflow and mlog._mlflow.log_param("config", os.path.abspath(args.config))
+    mlog.log_param("config", os.path.abspath(args.config))
     timer = StepTimer()
     t0 = time.time()
     losses = []
@@ -403,13 +403,19 @@ def main():
                 if cfg.get("save_all", True):
                     export_modules(export_params, out_dir, step_i + 1)
                 else:
-                    trained = {"denoising_unet": mt["denoising_unet"] or mt["motion_module"],
+                    # the unet rides along whenever any of its resident
+                    # submodules train (reference train.py:677-682: elif
+                    # motion_module OR audio_projection -> save denoising_unet)
+                    trained = {"denoising_unet": mt["denoising_unet"] or mt["motion_module"]
+                               or mt["audio_projection"],
                                "reference_net": mt["reference_net"],
                                "v_kps_guider": mt["v_kps_guider"],
                                "audio_projection": mt["audio_projection"]}
                     export_modules({k: v for k, v in export_params.items()
                                     if trained.get(k, False)}, out_dir, step_i + 1)
                 print(f"[vexpress] checkpoint saved: {path}")
+
+    mlog.close()  # finalizes the MLflow run (status FINISHED + end_time)
 
 
 if __name__ == "__main__":

@@ -170,3 +170,18 @@ def test_inference_config_rejects_unsupported_options(tmp_path):
     p.write_text("sampler: PNDM\n")
     with pytest.raises(ValueError, match="sampler"):
         load_inference_config(str(p))
+
+
+def test_inference_config_rejects_wrong_attention_block_count(tmp_path):
+    """The reference builds one temporal attention block per
+    attention_block_types entry; this build hardcodes 2 — any other count is
+    a structurally different model and must refuse, not misload."""
+    from vexpress_tpu.io.inference_config import load_inference_config
+
+    p = tmp_path / "inf.yaml"
+    p.write_text(
+        "unet_additional_kwargs:\n"
+        "  motion_module_kwargs:\n"
+        "    attention_block_types: [Temporal_Self]\n")
+    with pytest.raises(ValueError, match="attention_block_types x1"):
+        load_inference_config(str(p))

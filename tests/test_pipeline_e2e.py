@@ -493,3 +493,48 @@ def test_length_bucketing_is_exact(tiny_pipeline):
     lat_bucketed = tiny_pipeline(shape_bucketing=True, **kwargs)
     assert lat_bucketed.shape[0] == L
     np.testing.assert_allclose(lat_bucketed, lat_plain, atol=1e-5, rtol=1e-5)
+
+
+def test_params_reload_evicts_stale_step_closures(tiny_pipeline):
+    """Assigning `pipe.params` (checkpoint reload) must evict every cached
+    denoise step that bound the old weights at build time — streamed-group and
+    fused closures capture params["denoising_unet"] when built; serving them
+    afterwards would silently denoise with the OLD checkpoint (advisor r3
+    medium + r4 review finding)."""
+    rng = np.random.default_rng(21)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4266,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True,
+    )
+    old_params = tiny_pipeline.params
+    try:
+        lat_a_fused = tiny_pipeline(mode="fused", **kwargs)
+        lat_a_streamed = tiny_pipeline(mode="streamed", **kwargs)
+        # params-bound entries are in the cache now
+        bound = [k for k in tiny_pipeline._step_cache
+                 if k[0] in tiny_pipeline._PARAMS_BOUND_CACHE_PREFIXES]
+        assert bound, "expected fused/group entries in the step cache"
+
+        new_params = dict(old_params)
+        new_params["denoising_unet"] = jax.tree.map(
+            lambda x: x * 1.25, old_params["denoising_unet"])
+        tiny_pipeline.params = new_params
+        assert not [k for k in tiny_pipeline._step_cache
+                    if k[0] in tiny_pipeline._PARAMS_BOUND_CACHE_PREFIXES]
+
+        lat_b_fused = tiny_pipeline(mode="fused", **kwargs)
+        lat_b_streamed = tiny_pipeline(mode="streamed", **kwargs)
+        # the new weights must actually be used...
+        assert np.abs(lat_b_fused - lat_a_fused).max() > 1e-4
+        assert np.abs(lat_b_streamed - lat_a_streamed).max() > 1e-4
+        # ...and both modes agree under them
+        np.testing.assert_allclose(lat_b_streamed, lat_b_fused, atol=1e-5, rtol=1e-5)
+    finally:
+        tiny_pipeline.params = old_params

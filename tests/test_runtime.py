@@ -54,6 +54,7 @@ def test_metrics_logger_mlflow_filestore(tmp_path):
 
     mlruns = str(tmp_path / "mlruns")
     mlog = MetricsLogger(str(tmp_path), mlflow_dir=mlruns, run_name="stage_1")
+    mlog.log_param("config", "/abs/stage_1.yaml")
     mlog.log(1, {"train_loss": 0.5})
     mlog.log(2, {"train_loss": 0.25, "it_per_s": 3.0})
     mlog.close()
@@ -64,6 +65,10 @@ def test_metrics_logger_mlflow_filestore(tmp_path):
     run_dir = os.path.join(mlruns, "0", runs[0])
     meta = open(os.path.join(run_dir, "meta.yaml")).read()
     assert f"run_id: {runs[0]}" in meta and "run_name: stage_1" in meta
+    # close() finalizes the run: without status 3 + end_time `mlflow ui`
+    # shows every completed training run as eternally Running
+    assert "status: 3" in meta and "end_time: null" not in meta
+    assert open(os.path.join(run_dir, "params", "config")).read() == "/abs/stage_1.yaml"
     lines = open(os.path.join(run_dir, "metrics", "train_loss")).read().splitlines()
     assert len(lines) == 2
     ts, value, step = lines[1].split()

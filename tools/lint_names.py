@@ -36,7 +36,7 @@ def module_scope_names(table: symtable.SymbolTable) -> set:
 
 
 def walk(table: symtable.SymbolTable, module_names: set, findings: list,
-         fname: str) -> None:
+         fname: str, use_lines: dict) -> None:
     for sym in table.get_symbols():
         name = sym.get_name()
         if not sym.is_referenced():
@@ -46,9 +46,27 @@ def walk(table: symtable.SymbolTable, module_names: set, findings: list,
                                and not sym.is_parameter()):
             if (name not in module_names and name not in BUILTINS
                     and not sym.is_imported() and not sym.is_assigned()):
-                findings.append((fname, table.get_lineno(), table.get_name(), name))
+                # symtable only knows the enclosing def's line; point at the
+                # first actual USE of the name at/after it instead (an
+                # undefined name deep in a long function otherwise reports
+                # the def line, sending the fixer to the wrong place)
+                start = table.get_lineno()
+                lineno = next((ln for ln in use_lines.get(name, ())
+                               if ln >= start), start)
+                findings.append((fname, lineno, table.get_name(), name))
     for child in table.get_children():
-        walk(child, module_names, findings, fname)
+        walk(child, module_names, findings, fname, use_lines)
+
+
+def name_use_lines(src: str) -> dict:
+    """name -> sorted line numbers of every Load-context use in the file."""
+    import ast
+
+    uses: dict = {}
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Name) and isinstance(node.ctx, ast.Load):
+            uses.setdefault(node.id, []).append(node.lineno)
+    return {k: sorted(v) for k, v in uses.items()}
 
 
 def check_file(path: pathlib.Path, findings: list) -> None:
@@ -59,8 +77,9 @@ def check_file(path: pathlib.Path, findings: list) -> None:
         findings.append((str(path), e.lineno or 0, "<module>", f"SYNTAX: {e.msg}"))
         return
     module_names = module_scope_names(table)
+    use_lines = name_use_lines(src)
     for child in table.get_children():
-        walk(child, module_names, findings, str(path))
+        walk(child, module_names, findings, str(path), use_lines)
 
 
 def main(argv):

@@ -56,10 +56,18 @@ def load_inference_config(path: str) -> Tuple[Dict, "object"]:
         if "motion_module_mid_block" in ak:
             overrides["motion_module_mid_block"] = bool(ak["motion_module_mid_block"])
         mk = ak.get("motion_module_kwargs") or {}
-        _expect(all(t == "Temporal_Self" for t in
-                    mk.get("attention_block_types", ["Temporal_Self"])),
+        abt = mk.get("attention_block_types",
+                     ["Temporal_Self", "Temporal_Self"])
+        _expect(all(t == "Temporal_Self" for t in abt),
                 "attention_block_types",
                 "only Temporal_Self blocks exist in the reference")
+        # the reference builds ONE temporal attention block per list entry
+        # (modules/motion_module.py VanillaTemporalModule); this build
+        # hardcodes 2 (V-Express ships two) — a different count would be a
+        # structurally different model, so refuse instead of misloading
+        _expect(len(abt) == 2, f"attention_block_types x{len(abt)}",
+                "this build constructs exactly 2 temporal attention blocks "
+                "per motion transformer block")
         _expect(mk.get("temporal_position_encoding", True) in (True, None),
                 "temporal_position_encoding=false",
                 "the motion module PE is always built")

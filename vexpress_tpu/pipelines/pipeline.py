@@ -134,9 +134,15 @@ class VExpressPipeline:
         self.params = params
 
     # params is a property so reassignment (e.g. loading a new checkpoint)
-    # bumps a generation counter and evicts replicated device copies keyed on
-    # the old tree — id()-based keys could collide after GC and the stale
-    # replicated UNet would pin HBM forever.
+    # bumps a generation counter and evicts every cached step that captured
+    # the old tree at build time: the replicated device copy AND the
+    # group/fused/sharded step closures (each binds params["denoising_unet"]
+    # when built — serving them after a reassignment would silently denoise
+    # with the OLD weights and pin the stale ~4.4 GB tree in HBM).
+    # "piecewise" entries read self.params at call time and survive (their
+    # per-block compiled programs are expensive to rebuild and never stale).
+    _PARAMS_BOUND_CACHE_PREFIXES = ("unet_params_repl", "group", "fused", "sharded")
+
     @property
     def params(self) -> Dict[str, Any]:
         return self._params
@@ -146,7 +152,8 @@ class VExpressPipeline:
         self._params = value
         self._params_gen += 1
         stale = [k for k in self._step_cache
-                 if isinstance(k, tuple) and k and k[0] == "unet_params_repl"]
+                 if isinstance(k, tuple) and k
+                 and k[0] in self._PARAMS_BOUND_CACHE_PREFIXES]
         for k in stale:
             del self._step_cache[k]
 
@@ -1001,8 +1008,9 @@ class VExpressPipeline:
             if l_pad:
                 latents = latents[:video_length]
         elif mode == "fused":
-            cache_key = (video_length, context_frames, context_overlap, num_inference_steps,
-                         float(guidance_scale), window_group, float(eta))
+            cache_key = ("fused", video_length, context_frames, context_overlap,
+                         num_inference_steps, float(guidance_scale), window_group,
+                         float(eta))
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_denoise_step(
                     windows, inv_counts, num_inference_steps, guidance_scale, window_group,

@@ -39,8 +39,15 @@ class MetricsLogger:
         if self._mlflow is not None:
             self._mlflow.log_metrics(int(step), rec)
 
+    def log_param(self, key: str, value) -> None:
+        """Record a run parameter (no-op without mlflow_dir)."""
+        if self._mlflow is not None:
+            self._mlflow.log_param(key, value)
+
     def close(self) -> None:
         self._fh.close()
+        if self._mlflow is not None:
+            self._mlflow.finish()
 
 
 class MlflowFileStore:
@@ -70,22 +77,33 @@ class MlflowFileStore:
                     f"last_update_time: {now_ms}\n"
                     "lifecycle_stage: active\n"
                     "name: Default\n")
+        self._experiment = experiment
+        self._run_name = run_name
+        self._start_ms = now_ms
+        self._write_run_meta(status=1, end_ms=None)  # 1 = RUNNING
+
+    def _write_run_meta(self, status: int, end_ms) -> None:
         with open(os.path.join(self.run_dir, "meta.yaml"), "w") as f:
             f.write(
                 f"artifact_uri: file://{os.path.abspath(self.run_dir)}/artifacts\n"
-                "end_time: null\n"
+                f"end_time: {'null' if end_ms is None else end_ms}\n"
                 "entry_point_name: ''\n"
-                f"experiment_id: '{experiment}'\n"
+                f"experiment_id: '{self._experiment}'\n"
                 "lifecycle_stage: active\n"
                 f"run_id: {self.run_id}\n"
-                f"run_name: {run_name}\n"
+                f"run_name: {self._run_name}\n"
                 f"run_uuid: {self.run_id}\n"
                 "source_name: ''\n"
                 "source_type: 4\n"
                 "source_version: ''\n"
-                f"start_time: {now_ms}\n"
-                "status: 1\n"
+                f"start_time: {self._start_ms}\n"
+                f"status: {status}\n"
                 "user_id: ''\n")
+
+    def finish(self) -> None:
+        """Mark the run FINISHED (status 3) with an end_time — without this
+        `mlflow ui` shows the run as eternally Running."""
+        self._write_run_meta(status=3, end_ms=int(time.time() * 1000))
 
     def log_metrics(self, step: int, metrics: Dict[str, float]) -> None:
         ts = int(time.time() * 1000)
