@@ -218,11 +218,28 @@ def main():
         long_len = compute_video_length(930, context_frames, context_overlap)  # 924
         kps_long = rng.integers(0, 256, (long_len, height, width, 3), dtype=np.uint8)
         wf_long = (0.1 * rng.standard_normal(int(long_len / fps_video * 16000))).astype(np.float32)
-        long_s, video_long = timed_call({**kwargs,
-                                         "kps_images": kps_long,
-                                         "audio_waveform": wf_long,
-                                         "video_length": long_len,
-                                         "save_memory": True})
+
+        # memory_stats() is None through the axon tunnel, so sample resident
+        # live-array bytes once per DDIM step instead (25 host-side sweeps
+        # over a ~16-min pass: timing-neutral). LOWER bound: XLA per-program
+        # temps come on top. Reference peak for this workload: 7,956 MiB.
+        resident_peak = [0]
+
+        def _sample_resident(i, t):
+            resident_peak[0] = max(resident_peak[0],
+                                   sum(a.nbytes for a in jax.live_arrays()))
+
+        # passing a callback flips the pipeline's verbose phase prints on —
+        # keep stdout to JSON metric lines only (the module contract)
+        import contextlib
+
+        with contextlib.redirect_stdout(sys.stderr):
+            long_s, video_long = timed_call({**kwargs,
+                                             "kps_images": kps_long,
+                                             "audio_waveform": wf_long,
+                                             "video_length": long_len,
+                                             "save_memory": True,
+                                             "progress_callback": _sample_resident})
         assert video_long[0].shape == (long_len, height, width)
         amortized = long_len / (startup_s + long_s)
         n_long_windows = len(compute_context_windows(
@@ -235,6 +252,11 @@ def main():
             "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
             "long_whole_run_mfu_pct": _mfu_pct(n_long_windows * num_steps, long_s),
         }
+        if resident_peak[0]:
+            # lower bound on peak HBM (live jax.Array bytes at step
+            # boundaries; XLA per-program temps excluded) — the row
+            # comparable to the reference's 7,956 MiB V100 peak
+            long_detail["resident_hbm_peak_mib"] = round(resident_peak[0] / 2**20, 1)
         peak = _peak_hbm_mib()
         if peak is not None:
             # comparable to the reference's 7,956 MiB V100 peak for the same

@@ -1,0 +1,142 @@
+"""DPM-Solver++ (2M) scheduler tests.
+
+No diffusers oracle exists in this image, so correctness is established on a
+model with a KNOWN exact solution: for Gaussian data x0 ~ N(mu, s^2 I) the
+posterior mean E[x0 | x_t] is available in closed form, the probability-flow
+ODE is linear, and a fine-grid DDIM run converges to its exact solution —
+giving a ground truth that both samplers must approach, and against which a
+second-order solver must beat DDIM at equal (low) step counts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vexpress_tpu.diffusion import DDIMScheduler
+from vexpress_tpu.diffusion.dpm_solver import DPMSolverMultistepScheduler
+
+DIM = 64
+MU = 0.3
+S2 = 0.25  # data variance
+
+
+def _oracle_v(sched, x, t):
+    """Exact v-prediction for x0 ~ N(MU, S2 I): E[x0|x_t] in closed form,
+    v = (sqrt(a_bar) x - x0_hat) / sqrt(1 - a_bar)."""
+    a_bar = jnp.clip(jnp.asarray(sched.alphas_cumprod)[t], 1e-8, 1 - 1e-8)
+    a = jnp.sqrt(a_bar)
+    sig2 = 1.0 - a_bar
+    x0_hat = MU + (a * S2 / (a_bar * S2 + sig2)) * (x - a * MU)
+    return (a * x - x0_hat) / jnp.sqrt(sig2)
+
+
+def _run_ddim(n_steps, x_init):
+    sched = DDIMScheduler()
+    ts = sched.timesteps(n_steps)
+    x = x_init
+    for t in ts:
+        v = _oracle_v(sched, x, int(t))
+        x = sched.step(v, int(t), x, n_steps)
+    return np.asarray(x)
+
+
+def _run_dpm(n_steps, x_init):
+    dpm = DPMSolverMultistepScheduler()
+    ts = dpm.timesteps(n_steps)
+    x = x_init
+    state = dpm.init_state(x)
+    for i in range(len(ts)):
+        v = _oracle_v(dpm._ddim, x, int(ts[i]))
+        x, state = dpm.step(v, i, ts, x, state)
+    return np.asarray(x)
+
+
+@pytest.fixture(scope="module")
+def x_init():
+    return jax.random.normal(jax.random.PRNGKey(0), (DIM,), jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def ground_truth(x_init):
+    # fine-grid DDIM = numerical solution of the probability-flow ODE
+    return _run_ddim(500, x_init)
+
+
+def test_tables_match_ddim():
+    """Same beta/alpha tables and timestep grid as DDIM (drop-in for the
+    V-Express inference config)."""
+    ddim = DDIMScheduler()
+    dpm = DPMSolverMultistepScheduler()
+    np.testing.assert_array_equal(ddim.alphas_cumprod, dpm._ddim.alphas_cumprod)
+    np.testing.assert_array_equal(ddim.timesteps(25), dpm.timesteps(25))
+
+
+def test_dpm_converges_to_ode_solution(x_init, ground_truth):
+    """Second-order convergence: error shrinks ~4x per step doubling
+    (measured r4: 0.155 @10, 0.052 @25, 0.020 @50, 0.0058 @100 — vs DDIM's
+    first-order 0.196/0.091/0.048/0.023)."""
+    gt_norm = np.linalg.norm(ground_truth)
+    e50 = np.linalg.norm(_run_dpm(50, x_init) - ground_truth) / gt_norm
+    e100 = np.linalg.norm(_run_dpm(100, x_init) - ground_truth) / gt_norm
+    assert e100 < 0.01, e100
+    assert e100 < e50 / 2.5, (e50, e100)  # super-linear (2nd order ~3.5x)
+
+
+def test_dpm_beats_ddim_at_equal_steps(x_init, ground_truth):
+    """The point of the second-order solver: at every step count DPM-Solver++
+    lands closer to the ODE solution than DDIM, and from ~25 steps up it
+    matches DDIM at HALF the steps (the cost claim in dpm_solver.py)."""
+    gt_norm = np.linalg.norm(ground_truth)
+
+    def err(run, n):
+        return np.linalg.norm(run(n, x_init) - ground_truth) / gt_norm
+
+    for n in (10, 25, 50):
+        assert err(_run_dpm, n) < 0.85 * err(_run_ddim, n), n
+    assert err(_run_dpm, 25) <= err(_run_ddim, 50) * 1.15
+
+
+def test_dpm_epsilon_prediction_agrees(x_init):
+    """prediction_type=epsilon converges to the same ODE solution (the
+    conversion to x0 is the only difference). Ground truth uses a step count
+    that DIVIDES num_train_timesteps: DDIM's prev_timestep stride is the
+    fixed `t - 1000//n` (the diffusers quirk we mirror), which mismatches
+    the trailing grid whenever 1000/n is fractional."""
+    dpm = DPMSolverMultistepScheduler(prediction_type="epsilon",
+                                      rescale_betas_zero_snr=False)
+    ddim = DDIMScheduler(prediction_type="epsilon",
+                         rescale_betas_zero_snr=False)
+    # new tables (no zero-SNR) -> build a matching ground truth
+    def oracle_eps(x, t):
+        a_bar = jnp.clip(jnp.asarray(ddim.alphas_cumprod)[t], 1e-8, 1 - 1e-8)
+        a = jnp.sqrt(a_bar)
+        sig2 = 1.0 - a_bar
+        x0_hat = MU + (a * S2 / (a_bar * S2 + sig2)) * (x - a * MU)
+        return (x - a * x0_hat) / jnp.sqrt(sig2)
+
+    x = x_init
+    for t in ddim.timesteps(500):
+        x = ddim.step(oracle_eps(x, int(t)), int(t), x, 500)
+    gt = np.asarray(x)
+
+    ts = dpm.timesteps(100)
+    x = x_init
+    state = dpm.init_state(x)
+    for i in range(len(ts)):
+        x, state = dpm.step(oracle_eps(x, int(ts[i])), i, ts, x, state)
+    rel = np.linalg.norm(np.asarray(x) - gt) / np.linalg.norm(gt)
+    assert rel < 0.01, rel  # measured 0.0053 (DDIM@100 measures 0.022)
+
+
+def test_dpm_step_jits(x_init):
+    """Each (step_index) step is a jittable pure function of (pred, x, state)."""
+    dpm = DPMSolverMultistepScheduler()
+    ts = dpm.timesteps(4)
+    x = x_init
+    state = dpm.init_state(x)
+    for i in range(len(ts)):
+        fn = jax.jit(lambda p, xx, st, i=i: dpm.step(p, i, ts, xx, st))
+        v = _oracle_v(dpm._ddim, x, int(ts[i]))
+        x, state = fn(v, x, state)
+    assert np.isfinite(np.asarray(x)).all()

@@ -637,10 +637,15 @@ class VExpressPipeline:
         # features are computed per window group ON THE FLY — no O(video)
         # feature tensor in HBM. The raw uint8 window groups are CACHED on
         # device when they fit a modest budget (924 frames ≈ 0.9 GB uint8 vs
-        # 2.4 GB bf16 features): re-uploading them per (step, group) costs
-        # ~19 MB × groups × steps over the ~50 MB/s tunnel — measured ~25% of
-        # the 924-frame long-bench wall time (r3). Past the budget, fall back
-        # to per-step upload (bounded memory at any clip length).
+        # 2.4 GB bf16 features). Measured (r4, tools/bench_savemem.py, 304
+        # frames): cache on 271 s vs off 265 s — the ~19 MB/(step,group)
+        # upload fully OVERLAPS the ~0.7 s window-step compute, so the cache
+        # buys no steady-state time on a healthy host. It is kept (default
+        # 2 GiB) because with it the host-side gather+upload runs once per
+        # group instead of once per (step,group) — 46 vs 1150 passes on the
+        # 924-frame clip — which insulates the long pass from this host's
+        # 0.1-1.6 GB/s memcpy weather. VEXPRESS_SAVEMEM_DEV_CACHE_MB=0
+        # streams every step: bounded HBM at any clip length.
         raw_groups = None
         if save_memory:
             budget = int(os.environ.get("VEXPRESS_SAVEMEM_DEV_CACHE_MB", "2048")) << 20
