@@ -60,6 +60,11 @@ def parse_args():
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_inference_steps", type=int, default=25)
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=("ddim", "dpmpp_2m"),
+                   help="ddim (reference parity) or dpmpp_2m (DPM-Solver++ 2M "
+                        "2nd-order multistep: comparable quality at roughly "
+                        "half the steps, e.g. --num_inference_steps 12)")
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--context_frames", type=int, default=24)
     p.add_argument("--context_overlap", type=int, default=4)
@@ -273,6 +278,7 @@ def main():
             height=H,
             video_length=video_length,
             num_inference_steps=args.num_inference_steps,
+            sampler=args.sampler,
             guidance_scale=args.guidance_scale,
             context_frames=args.context_frames,
             context_overlap=args.context_overlap,

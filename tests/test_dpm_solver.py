@@ -140,3 +140,25 @@ def test_dpm_step_jits(x_init):
         v = _oracle_v(dpm._ddim, x, int(ts[i]))
         x, state = fn(v, x, state)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_build_step_matches_static_step(x_init):
+    """The traced-index step fn (one compiled program for the whole loop)
+    must reproduce the static-per-index step() trajectory."""
+    dpm = DPMSolverMultistepScheduler()
+    n = 12
+    ts = dpm.timesteps(n)
+    fn = jax.jit(dpm.build_step(n))
+
+    xs_static = x_init
+    state = dpm.init_state(xs_static)
+    xs_traced = x_init
+    px0 = jnp.zeros_like(x_init, jnp.float32)
+    hp = jnp.zeros((), bool)
+    for i in range(n):
+        v = _oracle_v(dpm._ddim, xs_static, int(ts[i]))
+        xs_static, state = dpm.step(v, i, ts, xs_static, state)
+        v2 = _oracle_v(dpm._ddim, xs_traced, int(ts[i]))
+        xs_traced, px0, hp = fn(v2, jnp.asarray(i), xs_traced, px0, hp)
+        np.testing.assert_allclose(np.asarray(xs_traced), np.asarray(xs_static),
+                                   rtol=2e-5, atol=2e-6)

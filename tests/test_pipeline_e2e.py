@@ -538,3 +538,79 @@ def test_params_reload_evicts_stale_step_closures(tiny_pipeline):
         np.testing.assert_allclose(lat_b_streamed, lat_b_fused, atol=1e-5, rtol=1e-5)
     finally:
         tiny_pipeline.params = old_params
+
+
+def test_dpm_sampler_all_modes(tiny_pipeline):
+    """sampler='dpmpp_2m' (DPM-Solver++ 2M, diffusion/dpm_solver.py) works in
+    every denoise mode and all modes agree bit-closely; it is a genuinely
+    different trajectory than DDIM on the same seed."""
+    from vexpress_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(31)
+    H = W = 64
+    L = 12
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(6400,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=3, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True, seed=5,
+    )
+    lat_ddim = tiny_pipeline(mode="streamed", **kwargs)
+    lat_dpm = tiny_pipeline(mode="streamed", sampler="dpmpp_2m", **kwargs)
+    assert np.isfinite(lat_dpm).all()
+    assert np.abs(lat_dpm - lat_ddim).max() > 1e-4  # different solver
+
+    # 2e-5: the 2M extrapolation doubles fp32 reassociation noise between
+    # the per-mode programs (the ddim mode tests sit at 1e-5)
+    lat_fused = tiny_pipeline(mode="fused", sampler="dpmpp_2m", **kwargs)
+    np.testing.assert_allclose(lat_fused, lat_dpm, atol=2e-5, rtol=2e-5)
+
+    mesh = create_mesh()
+    lat_sh = tiny_pipeline(mode="sharded", mesh=mesh, sampler="dpmpp_2m", **kwargs)
+    np.testing.assert_allclose(lat_sh, lat_dpm, atol=2e-5, rtol=2e-5)
+    lat_sh_pw = tiny_pipeline(mode="sharded", piecewise=True, mesh=mesh,
+                              sampler="dpmpp_2m", **kwargs)
+    np.testing.assert_allclose(lat_sh_pw, lat_dpm, atol=2e-5, rtol=2e-5)
+
+
+def test_dpm_sampler_rejects_eta_and_unknown(tiny_pipeline):
+    rng = np.random.default_rng(32)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4266,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True,
+    )
+    with pytest.raises(ValueError, match="deterministic ODE solver"):
+        tiny_pipeline(sampler="dpmpp_2m", eta=0.5, **kwargs)
+    with pytest.raises(ValueError, match="unknown sampler"):
+        tiny_pipeline(sampler="euler", **kwargs)
+
+
+def test_dpm_sampler_with_strength(tiny_pipeline):
+    """strength < 1 trims the schedule from the front; the DPM grid index
+    must be offset accordingly (idx0), not restart at 0."""
+    rng = np.random.default_rng(33)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4266,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=4, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True, seed=5, strength=0.5,
+    )
+    lat_streamed = tiny_pipeline(mode="streamed", sampler="dpmpp_2m", **kwargs)
+    lat_fused = tiny_pipeline(mode="fused", sampler="dpmpp_2m", **kwargs)
+    assert np.isfinite(lat_streamed).all()
+    np.testing.assert_allclose(lat_fused, lat_streamed, atol=1e-5, rtol=1e-5)

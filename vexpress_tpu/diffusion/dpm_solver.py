@@ -106,6 +106,73 @@ class DPMSolverMultistepScheduler:
             return out
         raise ValueError(f"unsupported prediction_type: {cfg.prediction_type}")
 
+    # ------------------------------------------------------- traced step fn
+
+    def build_step(self, num_inference_steps: int):
+        """Build ONE traced step function covering every grid index — the
+        per-step tables are baked as length-n constants and gathered by a
+        traced `idx`, so the whole denoise loop reuses a single compiled
+        program (the pipeline's per-mode jit pattern; a static-`step_index`
+        jit per step would cost n remote compiles through the axon service).
+
+        Returns `fn(model_output, idx, sample, prev_x0, has_prev) ->
+        (prev_sample, new_prev_x0, new_has_prev)`; thread the last two
+        outputs back in as the multistep state. Matches `step()` (tested).
+        """
+        ts = self.timesteps(num_inference_steps)
+        n = len(ts)
+        a_bar_raw = self._ddim.alphas_cumprod[ts].astype(np.float64)
+        a_bar = np.clip(a_bar_raw, 1e-8, 1.0 - 1e-8)
+        alpha = np.sqrt(a_bar)
+        sigma = np.sqrt(1.0 - a_bar)
+        lam = np.log(alpha) - np.log(sigma)
+        # integration target: next grid point; after the last, the clean
+        # endpoint (alpha=1, sigma=0, lambda=+inf) — there ratio==0 and
+        # expm1(-inf)==-1 make the first-order update return x0 exactly,
+        # mirroring step()'s lowered final step
+        alpha_p = np.concatenate([alpha[1:], [1.0]])
+        sigma_p = np.concatenate([sigma[1:], [0.0]])
+        lam_p = np.concatenate([lam[1:], [np.inf]])
+        h = lam_p - lam
+        h_safe = np.where(np.isfinite(h), h, 1.0)
+        h_last = np.concatenate([[1.0], lam[1:] - lam[:-1]])
+        tables = dict(
+            sqrt_a=np.sqrt(a_bar_raw),      # raw, as in _pred_x0
+            sqrt_b=np.sqrt(1.0 - a_bar_raw),
+            ratio=sigma_p / np.maximum(sigma, 1e-20),
+            alpha_p=alpha_p,
+            emh=np.expm1(-h),               # expm1(-inf) == -1 exactly
+            emh_safe=np.expm1(-h_safe),
+            inv_2r=h_safe / np.maximum(2.0 * h_last, 1e-20),  # 1/(2r), r=h_last/h
+        )
+        T = {k: jnp.asarray(v.astype(np.float32)) for k, v in tables.items()}
+        pt = self.config.prediction_type
+        if pt not in ("epsilon", "v_prediction", "sample"):
+            raise ValueError(f"unsupported prediction_type: {pt}")
+
+        def fn(model_output, idx, sample, prev_x0, has_prev):
+            idx = jnp.asarray(idx).astype(jnp.int32)
+            x = sample.astype(jnp.float32)
+            out = model_output.astype(jnp.float32)
+            sa, sb = T["sqrt_a"][idx], T["sqrt_b"][idx]
+            if pt == "epsilon":
+                x0 = (x - sb * out) / jnp.maximum(sa, 1e-12)
+            elif pt == "v_prediction":
+                x0 = sa * x - sb * out
+            else:
+                x0 = out
+            base = T["ratio"][idx] * x
+            first = base - T["alpha_p"][idx] * T["emh"][idx] * x0
+            inv_2r = T["inv_2r"][idx]
+            d = (1.0 + inv_2r) * x0 - inv_2r * prev_x0
+            second = base - T["alpha_p"][idx] * T["emh_safe"][idx] * d
+            use_second = has_prev & (idx > 0) & (idx < n - 1)
+            prev = jnp.where(use_second, second, first)
+            return (prev.astype(sample.dtype), x0,
+                    jnp.ones((), dtype=bool))
+
+        return fn
+
     # ------------------------------------------------------------------- step
 
     def step(

@@ -128,6 +128,7 @@ def window_parallel_step_dynamic(
     axis_name: str = "dp",
     window_group: int = 1,
     eta: float = 0.0,
+    sampler_step=None,
 ):
     """Build a mesh-sharded blended denoise step with RUNTIME window tables.
 
@@ -176,6 +177,16 @@ def window_parallel_step_dynamic(
         in_specs=(P(), P(), P(axis_name), P(axis_name), P()),
         out_specs=P(),
     )
+
+    if sampler_step is not None:
+        # multistep sampler (DPM-Solver++): replicated explicit state threaded
+        # by the caller; the update runs OUTSIDE shard_map like the DDIM one
+        def step_fn_dpm(latents, step_idx, t, win_idx, win_w, cond,
+                        prev_x0, has_prev):
+            acc = sharded_blend(latents, t, win_idx, win_w, cond)
+            return sampler_step(acc, step_idx, latents, prev_x0, has_prev)
+
+        return step_fn_dpm
 
     def step_fn(latents, t, win_idx, win_w, cond, noise_key=None):
         acc = sharded_blend(latents, t, win_idx, win_w, cond)

@@ -56,6 +56,7 @@ def build_blended_denoise_step(
     num_inference_steps: int,
     window_group: int = 1,
     eta: float = 0.0,
+    sampler_step=None,
 ):
     """Build one denoise step: gather windows -> predict in groups of
     `window_group` -> scatter-add 1/count-weighted noise preds -> DDIM step.
@@ -80,7 +81,7 @@ def build_blended_denoise_step(
     # blending weight per (window, frame): inv_counts gathered, zero for pads
     win_w = inv_counts[win_idx] * win_mask[..., None]  # (n_groups, g, win)
 
-    def step_fn(latents, t, cond, noise_key=None):
+    def blend(latents, t, cond):
         idx = jnp.asarray(win_idx)
         weights = jnp.asarray(win_w)
 
@@ -93,6 +94,18 @@ def build_blended_denoise_step(
 
         acc = jnp.zeros_like(latents, dtype=jnp.float32)
         acc, _ = jax.lax.scan(one_group, acc, jnp.arange(n_groups))
+        return acc
+
+    if sampler_step is not None:
+        # multistep sampler (DPM-Solver++): explicit state threaded by caller
+        def step_fn(latents, step_idx, t, cond, prev_x0, has_prev):
+            acc = blend(latents, t, cond)
+            return sampler_step(acc, step_idx, latents, prev_x0, has_prev)
+
+        return step_fn
+
+    def step_fn(latents, t, cond, noise_key=None):
+        acc = blend(latents, t, cond)
         return scheduler.step(acc, t, latents, num_inference_steps,
                               eta=eta, noise_key=noise_key)
 
@@ -504,7 +517,7 @@ class VExpressPipeline:
 
     def _build_group_programs(self, num_inference_steps: int, guidance_scale: float,
                               window_group: int, win_size: int, pregathered: bool = False,
-                              eta: float = 0.0):
+                              eta: float = 0.0, sampler: str = "ddim"):
         """Streamed mode: two small reusable programs instead of one fused
         per-video-length step.
 
@@ -545,15 +558,29 @@ class VExpressPipeline:
             pred = pred.astype(jnp.float32) * w_weights[..., None, None, None]
             return acc.at[w_idx].add(pred)
 
+        return group_step, self._build_sampler_jit(num_inference_steps, eta, sampler)
+
+    def _build_sampler_jit(self, num_inference_steps: int, eta: float, sampler: str):
+        """The per-step latent-update jit shared by the streamed modes:
+        DDIM `(acc, t, latents[, noise_key]) -> latents` (traced timestep) or
+        DPM-Solver++ 2M `(acc, idx, latents, prev_x0, has_prev) -> (latents,
+        prev_x0, has_prev)` (traced grid index, explicit multistep state)."""
+        if sampler == "dpmpp_2m":
+            from ..diffusion.dpm_solver import DPMSolverMultistepScheduler
+
+            dpm = DPMSolverMultistepScheduler(self.scheduler.config)
+            return jax.jit(dpm.build_step(num_inference_steps))
+
         @jax.jit
         def ddim(acc, t, latents, noise_key=None):
             return self.scheduler.step(acc, t, latents, num_inference_steps,
                                        eta=eta, noise_key=noise_key)
 
-        return group_step, ddim
+        return ddim
 
     def _build_piecewise_programs(self, num_inference_steps: int, guidance_scale: float,
-                                  pregathered: bool = False, eta: float = 0.0):
+                                  pregathered: bool = False, eta: float = 0.0,
+                                  sampler: str = "ddim"):
         """Piecewise-streamed mode: gather/CFG and scatter/DDIM are tiny jits;
         the UNet itself runs per-block via PiecewiseUNetRunner (the axon
         remote-compile service cannot build monolithic SD-scale programs)."""
@@ -582,11 +609,6 @@ class VExpressPipeline:
             pred = pred.astype(jnp.float32) * w_weights[..., None, None, None]
             return acc.at[w_idx].add(pred)
 
-        @jax.jit
-        def ddim(acc, t, latents, noise_key=None):
-            return self.scheduler.step(acc, t, latents, num_inference_steps,
-                                       eta=eta, noise_key=noise_key)
-
         def group_step(acc, latents, t, w_idx, w_weights, kps_feat, audio_tok, ref_feats,
                        ref_scale, audio_scale):
             lat, kps, aud = gather(latents, w_idx, kps_feat, audio_tok)
@@ -597,13 +619,13 @@ class VExpressPipeline:
             )
             return combine_scatter(acc, pred, w_idx, w_weights)
 
-        return group_step, ddim
+        return group_step, self._build_sampler_jit(num_inference_steps, eta, sampler)
 
     def _denoise_streamed(self, latents, timesteps, windows, inv_counts, kps_feat,
                           audio_tok, ref_feats, ref_scale, audio_scale,
                           num_inference_steps, guidance_scale, window_group,
                           progress_callback=None, piecewise=False, save_memory=False,
-                          kps_raw_host=None, eta=0.0, noise_rng=None):
+                          kps_raw_host=None, eta=0.0, noise_rng=None, sampler="ddim"):
         n_windows, win_size = windows.shape
         g = min(window_group, n_windows)
         n_groups = -(-n_windows // g)
@@ -615,19 +637,19 @@ class VExpressPipeline:
 
         cache_key = ("piecewise" if piecewise else "group",
                      num_inference_steps, float(guidance_scale), g, win_size, save_memory,
-                     float(eta))
+                     float(eta), sampler)
         if cache_key not in self._step_cache:
             if piecewise:
                 self._step_cache[cache_key] = self._build_piecewise_programs(
                     num_inference_steps, guidance_scale, pregathered=save_memory,
-                    eta=eta,
+                    eta=eta, sampler=sampler,
                 )
             else:
                 self._step_cache[cache_key] = self._build_group_programs(
                     num_inference_steps, guidance_scale, g, win_size,
-                    pregathered=save_memory, eta=eta,
+                    pregathered=save_memory, eta=eta, sampler=sampler,
                 )
-        group_step, ddim = self._step_cache[cache_key]
+        group_step, samp = self._step_cache[cache_key]
 
         idx_dev = [jnp.asarray(win_idx[i]) for i in range(n_groups)]
         w_dev = [jnp.asarray(win_w[i]) for i in range(n_groups)]
@@ -655,6 +677,10 @@ class VExpressPipeline:
                 raw_groups = [jnp.asarray(kps_raw_host[win_idx[gi]])
                               for gi in range(n_groups)]
 
+        # multistep (dpmpp_2m) state; idx0 > 0 when `strength` trimmed the
+        # schedule (the grid tables inside `samp` cover the FULL grid)
+        idx0 = num_inference_steps - len(timesteps)
+        prev_x0, has_prev = jnp.zeros_like(latents), jnp.zeros((), bool)
         for i, t in enumerate(timesteps):
             tt = jnp.asarray(int(t))
             acc = jnp.zeros_like(latents, dtype=jnp.float32)
@@ -670,12 +696,16 @@ class VExpressPipeline:
                 acc = with_compile_retries(
                     group_step, acc, latents, tt, idx_dev[gi], w_dev[gi], kps_arg,
                     audio_tok, ref_feats, ref_scale, audio_scale, label="group step")
-            if eta != 0.0:
+            if sampler == "dpmpp_2m":
+                latents, prev_x0, has_prev = with_compile_retries(
+                    samp, acc, jnp.asarray(idx0 + i), latents, prev_x0, has_prev,
+                    label="dpm step")
+            elif eta != 0.0:
                 noise_rng, sub = jax.random.split(noise_rng)
-                latents = with_compile_retries(ddim, acc, tt, latents, sub,
+                latents = with_compile_retries(samp, acc, tt, latents, sub,
                                                label="ddim step")
             else:
-                latents = with_compile_retries(ddim, acc, tt, latents, label="ddim step")
+                latents = with_compile_retries(samp, acc, tt, latents, label="ddim step")
             if progress_callback is not None:
                 latents.block_until_ready()
                 progress_callback(i, int(t))
@@ -685,7 +715,8 @@ class VExpressPipeline:
                                    kps_feat, audio_tok, ref_feats, ref_scale,
                                    audio_scale, num_inference_steps,
                                    guidance_scale, mesh, progress_callback=None,
-                                   kps_pregathered=False, eta=0.0, noise_rng=None):
+                                   kps_pregathered=False, eta=0.0, noise_rng=None,
+                                   sampler="ddim"):
         """Window-parallel inference built on the per-block piecewise programs.
 
         The padded window table is the UNet batch axis: `gather` emits it
@@ -710,7 +741,7 @@ class VExpressPipeline:
 
         cache_key = ("sharded_piecewise", num_inference_steps, float(guidance_scale),
                      win_idx.shape, int(latents.shape[0]), tuple(mesh.shape.items()),
-                     kps_pregathered, float(eta))
+                     kps_pregathered, float(eta), sampler)
         if cache_key not in self._step_cache:
             @functools.partial(jax.jit, out_shardings=(win_sh, win_sh, win_sh))
             def gather(latents, w_idx, kps_feat, audio_tok):
@@ -734,15 +765,23 @@ class VExpressPipeline:
                 acc = jnp.zeros_like(latents, dtype=jnp.float32)
                 return acc.at[w_idx].add(pred)
 
-            @functools.partial(jax.jit, out_shardings=repl)
-            def ddim(acc, t, latents, noise_key=None):
-                # replicated latents + replicated key: every device draws the
-                # same stochastic-DDIM noise
-                return self.scheduler.step(acc, t, latents, num_inference_steps,
-                                           eta=eta, noise_key=noise_key)
+            if sampler == "dpmpp_2m":
+                from ..diffusion.dpm_solver import DPMSolverMultistepScheduler
 
-            self._step_cache[cache_key] = (gather, combine_scatter, ddim)
-        gather, combine_scatter, ddim = self._step_cache[cache_key]
+                dpm_step = DPMSolverMultistepScheduler(
+                    self.scheduler.config).build_step(num_inference_steps)
+                samp = functools.partial(jax.jit, out_shardings=(repl, repl, repl))(
+                    dpm_step)
+            else:
+                @functools.partial(jax.jit, out_shardings=repl)
+                def samp(acc, t, latents, noise_key=None):
+                    # replicated latents + replicated key: every device draws
+                    # the same stochastic-DDIM noise
+                    return self.scheduler.step(acc, t, latents, num_inference_steps,
+                                               eta=eta, noise_key=noise_key)
+
+            self._step_cache[cache_key] = (gather, combine_scatter, samp)
+        gather, combine_scatter, samp = self._step_cache[cache_key]
 
         # conditioning/latents/params replicated across the mesh; window
         # tables too (the gather/scatter index math is cheap and local)
@@ -758,6 +797,9 @@ class VExpressPipeline:
             self._step_cache[pkey] = jax.device_put(self.params["denoising_unet"], repl)
         unet_params = self._step_cache[pkey]
 
+        idx0 = num_inference_steps - len(timesteps)  # strength-trimmed grid
+        prev_x0 = jax.device_put(jnp.zeros_like(latents), repl)
+        has_prev = jax.device_put(jnp.zeros((), bool), repl)
         for i, t in enumerate(timesteps):
             tt = jnp.asarray(int(t))
             lat_w, kps_w, aud_w = with_compile_retries(
@@ -769,12 +811,16 @@ class VExpressPipeline:
             )
             acc = with_compile_retries(
                 combine_scatter, pred, idx_dev, w_dev, latents, label="sharded combine")
-            if eta != 0.0:
+            if sampler == "dpmpp_2m":
+                latents, prev_x0, has_prev = with_compile_retries(
+                    samp, acc, jnp.asarray(idx0 + i), latents, prev_x0, has_prev,
+                    label="sharded dpm")
+            elif eta != 0.0:
                 noise_rng, sub = jax.random.split(noise_rng)
-                latents = with_compile_retries(ddim, acc, tt, latents, sub,
+                latents = with_compile_retries(samp, acc, tt, latents, sub,
                                                label="sharded ddim")
             else:
-                latents = with_compile_retries(ddim, acc, tt, latents, label="sharded ddim")
+                latents = with_compile_retries(samp, acc, tt, latents, label="sharded ddim")
             if progress_callback is not None:
                 progress_callback(i, int(t))
         return latents
@@ -816,9 +862,28 @@ class VExpressPipeline:
         guidance_scale: float,
         window_group: int,
         eta: float = 0.0,
+        sampler: str = "ddim",
     ):
         """One jitted denoise step over all context windows of the video."""
         predict = self._make_window_predict(guidance_scale)
+        if sampler == "dpmpp_2m":
+            from ..diffusion.dpm_solver import DPMSolverMultistepScheduler
+
+            dpm_step = DPMSolverMultistepScheduler(
+                self.scheduler.config).build_step(num_inference_steps)
+            step_fn = build_blended_denoise_step(
+                predict, self.scheduler, windows, inv_counts, num_inference_steps,
+                window_group, sampler_step=dpm_step,
+            )
+
+            def wrapped_dpm(latents, step_idx, t, kps_feat, audio_tok, ref_feats,
+                            ref_scale, audio_scale, prev_x0, has_prev):
+                return step_fn(latents, step_idx, t,
+                               (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale),
+                               prev_x0, has_prev)
+
+            return jax.jit(wrapped_dpm)
+
         step_fn = build_blended_denoise_step(
             predict, self.scheduler, windows, inv_counts, num_inference_steps,
             window_group, eta=eta,
@@ -840,6 +905,7 @@ class VExpressPipeline:
         window_group: int,
         mesh,
         eta: float = 0.0,
+        sampler: str = "ddim",
     ):
         """Window-parallel denoise step: the window axis is sharded over the
         device mesh (each chip runs the UNet on its window shard; weighted
@@ -851,6 +917,26 @@ class VExpressPipeline:
         from ..parallel.mesh import window_parallel_step_dynamic
 
         predict = self._make_window_predict(guidance_scale)
+        if sampler == "dpmpp_2m":
+            from ..diffusion.dpm_solver import DPMSolverMultistepScheduler
+
+            dpm_step = DPMSolverMultistepScheduler(
+                self.scheduler.config).build_step(num_inference_steps)
+            step_fn = window_parallel_step_dynamic(
+                predict, self.scheduler, total_windows, win_size,
+                num_inference_steps, mesh, window_group=window_group,
+                sampler_step=dpm_step,
+            )
+
+            def wrapped_dpm(latents, step_idx, t, win_idx, win_w, kps_feat,
+                            audio_tok, ref_feats, ref_scale, audio_scale,
+                            prev_x0, has_prev):
+                return step_fn(latents, step_idx, t, win_idx, win_w,
+                               (kps_feat, audio_tok, ref_feats, ref_scale, audio_scale),
+                               prev_x0, has_prev)
+
+            return jax.jit(wrapped_dpm)
+
         step_fn = window_parallel_step_dynamic(
             predict, self.scheduler, total_windows, win_size, num_inference_steps,
             mesh, window_group=window_group, eta=eta,
@@ -878,6 +964,7 @@ class VExpressPipeline:
         guidance_scale: float = 3.5,
         strength: float = 1.0,
         eta: float = 0.0,  # stochastic DDIM (Song et al. eq. 12); 0 = reference default
+        sampler: str = "ddim",  # or "dpmpp_2m" (DPM-Solver++ 2M, ~half the steps)
         context_schedule: str = "uniform",  # the only schedule the reference ships
         context_frames: int = 24,
         context_overlap: int = 4,
@@ -907,6 +994,11 @@ class VExpressPipeline:
 
         if save_memory and mode not in ("streamed", "sharded"):
             raise ValueError("save_memory requires mode='streamed' or 'sharded'")
+        if sampler not in ("ddim", "dpmpp_2m"):
+            raise ValueError(f"unknown sampler {sampler!r}; choose 'ddim' or 'dpmpp_2m'")
+        if sampler == "dpmpp_2m" and eta != 0.0:
+            raise ValueError("eta > 0 is the stochastic-DDIM knob; "
+                             "dpmpp_2m is a deterministic ODE solver (use eta=0)")
 
         # uint8 kps frames upload raw (4x less tunnel traffic) and normalize
         # on device inside _kps_features; float inputs upload as compute dtype.
@@ -1009,28 +1101,37 @@ class VExpressPipeline:
                 progress_callback, piecewise=piecewise, save_memory=save_memory,
                 kps_raw_host=kps_images if save_memory else None,
                 eta=eta, noise_rng=jax.random.fold_in(key, 1) if eta != 0.0 else None,
+                sampler=sampler,
             )
             if l_pad:
                 latents = latents[:video_length]
         elif mode == "fused":
             cache_key = ("fused", video_length, context_frames, context_overlap,
                          num_inference_steps, float(guidance_scale), window_group,
-                         float(eta))
+                         float(eta), sampler)
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_denoise_step(
                     windows, inv_counts, num_inference_steps, guidance_scale, window_group,
-                    eta=eta,
+                    eta=eta, sampler=sampler,
                 )
             step = self._step_cache[cache_key]
             noise_rng = jax.random.fold_in(key, 1) if eta != 0.0 else None
+            idx0 = num_inference_steps - len(timesteps)  # strength-trimmed grid
+            prev_x0, has_prev = jnp.zeros_like(latents), jnp.zeros((), bool)
             for i, t in enumerate(timesteps):
-                extra = ()
-                if eta != 0.0:
-                    noise_rng, sub = jax.random.split(noise_rng)
-                    extra = (sub,)
-                latents = with_compile_retries(
-                    step, latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
-                    ref_scale, audio_scale, *extra, label="fused denoise step")
+                if sampler == "dpmpp_2m":
+                    latents, prev_x0, has_prev = with_compile_retries(
+                        step, latents, jnp.asarray(idx0 + i), jnp.asarray(int(t)),
+                        kps_feat, audio_tok, ref_feats, ref_scale, audio_scale,
+                        prev_x0, has_prev, label="fused denoise step")
+                else:
+                    extra = ()
+                    if eta != 0.0:
+                        noise_rng, sub = jax.random.split(noise_rng)
+                        extra = (sub,)
+                    latents = with_compile_retries(
+                        step, latents, jnp.asarray(int(t)), kps_feat, audio_tok, ref_feats,
+                        ref_scale, audio_scale, *extra, label="fused denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))
         elif mode == "sharded":
@@ -1070,6 +1171,7 @@ class VExpressPipeline:
                     guidance_scale, mesh, progress_callback,
                     kps_pregathered=save_memory, eta=eta,
                     noise_rng=jax.random.fold_in(key, 1) if eta != 0.0 else None,
+                    sampler=sampler,
                 )
                 if l_pad:
                     latents = latents[:video_length]
@@ -1080,11 +1182,12 @@ class VExpressPipeline:
                                            as_yuv420=output_yuv420)
             cache_key = ("sharded", int(latents.shape[0]), win_idx_np.shape,
                          num_inference_steps, float(guidance_scale), window_group,
-                         tuple(mesh.shape.items()), float(eta))
+                         tuple(mesh.shape.items()), float(eta), sampler)
             if cache_key not in self._step_cache:
                 self._step_cache[cache_key] = self._build_sharded_denoise_step(
                     int(win_idx_np.shape[0]), int(win_idx_np.shape[1]),
                     num_inference_steps, guidance_scale, window_group, mesh, eta=eta,
+                    sampler=sampler,
                 )
             step = self._step_cache[cache_key]
             # pin every loop input to the replicated mesh sharding up front:
@@ -1103,15 +1206,24 @@ class VExpressPipeline:
             w_dev = jax.device_put(jnp.asarray(win_w_np), repl)
             noise_rng = (jax.device_put(jax.random.fold_in(key, 1), repl)
                          if eta != 0.0 else None)
+            idx0 = num_inference_steps - len(timesteps)  # strength-trimmed grid
+            prev_x0 = jax.device_put(jnp.zeros_like(latents), repl)
+            has_prev = jax.device_put(jnp.zeros((), bool), repl)
             for i, t in enumerate(timesteps):
-                extra = ()
-                if eta != 0.0:
-                    noise_rng, sub = jax.random.split(noise_rng)
-                    extra = (sub,)
-                latents = with_compile_retries(
-                    step, latents, jnp.asarray(int(t)), idx_dev, w_dev, kps_feat,
-                    audio_tok, ref_feats, ref_scale, audio_scale, *extra,
-                    label="sharded denoise step")
+                if sampler == "dpmpp_2m":
+                    latents, prev_x0, has_prev = with_compile_retries(
+                        step, latents, jnp.asarray(idx0 + i), jnp.asarray(int(t)),
+                        idx_dev, w_dev, kps_feat, audio_tok, ref_feats, ref_scale,
+                        audio_scale, prev_x0, has_prev, label="sharded denoise step")
+                else:
+                    extra = ()
+                    if eta != 0.0:
+                        noise_rng, sub = jax.random.split(noise_rng)
+                        extra = (sub,)
+                    latents = with_compile_retries(
+                        step, latents, jnp.asarray(int(t)), idx_dev, w_dev, kps_feat,
+                        audio_tok, ref_feats, ref_scale, audio_scale, *extra,
+                        label="sharded denoise step")
                 if progress_callback is not None:
                     progress_callback(i, int(t))
             if l_pad:
