@@ -60,11 +60,13 @@ def parse_args():
     p.add_argument("--fps", type=float, default=30.0)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_inference_steps", type=int, default=25)
-    p.add_argument("--sampler", type=str, default="ddim",
+    p.add_argument("--sampler", type=str, default=None,
                    choices=("ddim", "dpmpp_2m"),
-                   help="ddim (reference parity) or dpmpp_2m (DPM-Solver++ 2M "
-                        "2nd-order multistep: comparable quality at roughly "
-                        "half the steps, e.g. --num_inference_steps 12)")
+                   help="ddim (reference parity, the default) or dpmpp_2m "
+                        "(DPM-Solver++ 2M 2nd-order multistep: comparable "
+                        "quality at roughly half the steps, e.g. "
+                        "--num_inference_steps 12); an inference yaml's "
+                        "`sampler:` key sets the default")
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--context_frames", type=int, default=24)
     p.add_argument("--context_overlap", type=int, default=4)
@@ -184,10 +186,14 @@ def main():
 
         from vexpress_tpu.io.inference_config import load_inference_config
 
-        unet_overrides, scheduler = load_inference_config(args.inference_config_path)
+        unet_overrides, scheduler, yaml_sampler = load_inference_config(
+            args.inference_config_path)
         if unet_overrides:
             models = _dc.replace(
                 models, unet_config=_dc.replace(models.unet_config, **unet_overrides))
+        # an explicit --sampler flag wins over the yaml's `sampler:` key
+        if args.sampler is None:
+            args.sampler = yaml_sampler
 
     pipeline = load_pipeline(
         models=models,
@@ -278,7 +284,7 @@ def main():
             height=H,
             video_length=video_length,
             num_inference_steps=args.num_inference_steps,
-            sampler=args.sampler,
+            sampler=args.sampler or "ddim",
             guidance_scale=args.guidance_scale,
             context_frames=args.context_frames,
             context_overlap=args.context_overlap,

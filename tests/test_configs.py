@@ -144,7 +144,8 @@ def test_verbatim_inference_v2_yaml_routes():
     from vexpress_tpu.io.inference_config import load_inference_config
     from vexpress_tpu.models.unet_3d import UNetConfig
 
-    overrides, scheduler = load_inference_config(path)
+    overrides, scheduler, sampler = load_inference_config(path)
+    assert sampler == "ddim"  # inference_v2.yaml:35 `sampler: DDIM`
     cfg = UNetConfig(**overrides)
     assert cfg.use_motion_module and cfg.motion_module_mid_block
     assert cfg.motion_num_attention_heads == 8
@@ -184,4 +185,18 @@ def test_inference_config_rejects_wrong_attention_block_count(tmp_path):
         "  motion_module_kwargs:\n"
         "    attention_block_types: [Temporal_Self]\n")
     with pytest.raises(ValueError, match="attention_block_types x1"):
+        load_inference_config(str(p))
+
+
+def test_inference_config_sampler_routing(tmp_path):
+    """`sampler: DPMSolverMultistep` maps to the dpmpp_2m pipeline sampler
+    (beyond-parity; the reference yaml ships DDIM); unknown samplers raise."""
+    from vexpress_tpu.io.inference_config import load_inference_config
+
+    p = tmp_path / "inf.yaml"
+    p.write_text("sampler: DPMSolverMultistep\n")
+    _, _, sampler = load_inference_config(str(p))
+    assert sampler == "dpmpp_2m"
+    p.write_text("sampler: PNDM\n")
+    with pytest.raises(ValueError, match="sampler"):
         load_inference_config(str(p))

@@ -17,12 +17,17 @@ def _expect(cond: bool, key: str, why: str) -> None:
         raise ValueError(f"inference config: unsupported {key} — {why}")
 
 
-def load_inference_config(path: str) -> Tuple[Dict, "object"]:
-    """Returns (unet_config_overrides, DDIMScheduler).
+def load_inference_config(path: str) -> Tuple[Dict, "object", str]:
+    """Returns (unet_config_overrides, DDIMScheduler, sampler_name).
+
+    sampler_name is "ddim" for the reference's `sampler: DDIM`
+    (inference_v2.yaml:35) or "dpmpp_2m" for DPMSolverMultistep[Scheduler]
+    (a beyond-parity extension — both run on the same noise_scheduler_kwargs
+    tables, diffusion/dpm_solver.py).
 
     Raises for option values this build does not implement (each is also
     non-default in the reference): cross-frame attention, decoder-only or
-    resolution-subset motion modules, non-Vanilla module type, non-DDIM
+    resolution-subset motion modules, non-Vanilla module type, unknown
     samplers.
     """
     import yaml
@@ -80,8 +85,13 @@ def load_inference_config(path: str) -> Tuple[Dict, "object"]:
         if "temporal_position_encoding_max_len" in mk:
             overrides["motion_max_len"] = int(mk["temporal_position_encoding_max_len"])
 
-    _expect(cfg.get("sampler", "DDIM") == "DDIM", "sampler",
-            "only DDIM exists in the reference")
+    sampler_yaml = cfg.get("sampler", "DDIM")
+    sampler = {"DDIM": "ddim",
+               "DPMSolverMultistep": "dpmpp_2m",
+               "DPMSolverMultistepScheduler": "dpmpp_2m"}.get(sampler_yaml)
+    _expect(sampler is not None, f"sampler {sampler_yaml!r}",
+            "DDIM (reference) and DPMSolverMultistep (this build's "
+            "DPM-Solver++ 2M) are supported")
     ns = dict(cfg.get("noise_scheduler_kwargs") or {})
     sched_keys = ("num_train_timesteps", "beta_start", "beta_end", "beta_schedule",
                   "clip_sample", "steps_offset", "prediction_type",
@@ -89,4 +99,4 @@ def load_inference_config(path: str) -> Tuple[Dict, "object"]:
     unknown = [k for k in ns if k not in sched_keys]
     _expect(not unknown, f"noise_scheduler_kwargs {unknown}", "unknown scheduler keys")
     scheduler = DDIMScheduler(**ns)
-    return overrides, scheduler
+    return overrides, scheduler, sampler
