@@ -584,11 +584,15 @@ class VExpressPipeline:
         """Piecewise-streamed mode: gather/CFG and scatter/DDIM are tiny jits;
         the UNet itself runs per-block via PiecewiseUNetRunner (the axon
         remote-compile service cannot build monolithic SD-scale programs)."""
-        from ..models.piecewise import PiecewiseUNetRunner
-
         do_cfg = guidance_scale > 1.0
         dt = self.m.dtype
-        runner = PiecewiseUNetRunner(self.m.unet_config, dtype=dt)
+        # the SHARED per-pipeline runner: its per-block jits are independent
+        # of (num_inference_steps, sampler, guidance_scale), so every cache
+        # entry reuses ONE set of compiled UNet block programs — a fresh
+        # runner per entry duplicated every block executable on device
+        # (measured r4: a process that ran 12-step dpm then 25-step ddim had
+        # the second run ~20% slower under the duplicated-program pressure)
+        runner = self.piecewise_runner
 
         @jax.jit
         def gather(latents, w_idx, kps_feat, audio_tok):
