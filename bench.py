@@ -83,9 +83,13 @@ def _require_live_backend(timeout_s: float = 180.0):
             # context for the record: the same benchmark, measured on the real
             # chip earlier this round (methodology in PERFORMANCE.md) — NOT a
             # fresh measurement.
-            "last_measured": {"value": 1.015, "vs_baseline": 2.82,
-                              "detail": "steady-state e2e, 124 frames, "
-                                        "measured on TPU earlier this round"},
+            "last_measured": {"value": 1.149, "vs_baseline": 3.19,
+                              "detail": "steady-state e2e, 124 frames, r4 full "
+                                        "bench (rc=0); 924-frame long pass "
+                                        "0.956 e2e / 0.876 all-inclusive = "
+                                        "2.43x; dpmpp_2m@12 2.244 = 6.23x — "
+                                        "all measured on TPU earlier this "
+                                        "round before the axon relay died"},
         }))
         os._exit(1)
 
