@@ -67,6 +67,12 @@ def parse_args():
                         "quality at roughly half the steps, e.g. "
                         "--num_inference_steps 12); an inference yaml's "
                         "`sampler:` key sets the default")
+    p.add_argument("--lora_path", type=str, default="",
+                   help="LoRA adapter checkpoint (peft layout, exported by "
+                        "cli/train.py with a `lora:` config section); merged "
+                        "into the base weights at load time")
+    p.add_argument("--lora_scale", type=float, default=None,
+                   help="override the adapter's alpha/rank merge scale")
     p.add_argument("--guidance_scale", type=float, default=3.5)
     p.add_argument("--context_frames", type=int, default=24)
     p.add_argument("--context_overlap", type=int, default=4)
@@ -207,6 +213,14 @@ def main():
         audio_projection_path=args.audio_projection_path,
         param_dtype=dtype,
     )
+
+    if args.lora_path:
+        from vexpress_tpu.train.lora import load_and_merge_lora
+
+        pipeline.params = load_and_merge_lora(
+            pipeline.params, args.lora_path, args.lora_scale)
+        print(f"[vexpress] merged LoRA adapter {args.lora_path}"
+              + (f" (scale {args.lora_scale})" if args.lora_scale is not None else ""))
 
     if args.test_stage == "stage_1":
         # test a stage-1 checkpoint: silence audio cross-attn and motion

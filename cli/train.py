@@ -193,13 +193,57 @@ def main():
         reference_drop_rate=float(data.get("reference_drop_rate", 0.0)),
     )
 
+    # optional LoRA fine-tuning (beyond parity — train/lora.py): a `lora:`
+    # config section replaces the module_training trainability with low-rank
+    # adapters on the attention projections; base weights stay frozen
+    lora_raw = cfg.get("lora") or {}
+    lora_cfg = None
+    if lora_raw:
+        from vexpress_tpu.train.lora import DEFAULT_TARGETS, LoraConfig
+
+        unknown = set(lora_raw) - {"rank", "alpha", "targets", "modules", "include"}
+        if unknown:
+            raise SystemExit(f"unknown lora config keys {sorted(unknown)}")
+        rank = int(lora_raw.get("rank", 8))
+        lora_cfg = LoraConfig(
+            rank=rank,
+            alpha=float(lora_raw.get("alpha", rank)),
+            targets=tuple(lora_raw.get("targets", DEFAULT_TARGETS)),
+            modules=tuple(lora_raw.get("modules", ("denoising_unet",))),
+            include=str(lora_raw.get("include", "")),
+        )
+
     # stage-start zero-init of the audio/motion output projections
-    # (/root/reference/train.py:363-390; skipped for stage_2_resume)
+    # (/root/reference/train.py:363-390; skipped for stage_2_resume and for
+    # LoRA runs — adapters fine-tune the loaded weights as they are)
     from vexpress_tpu.train.train_step import stage_zero_init
 
-    params = stage_zero_init(pipe.params, cfg["train_stage"])
+    params = pipe.params if lora_cfg else stage_zero_init(pipe.params, cfg["train_stage"])
     pipe.params = params
     tx, mask = make_optimizer(params, tcfg)
+
+    lora_tree = None
+    if lora_cfg is not None:
+        import optax
+
+        from vexpress_tpu.train.lora import init_lora
+        from vexpress_tpu.train.train_step import make_lr_schedule
+
+        lora_tree = init_lora(params, lora_cfg, seed=int(cfg.get("seed", 0)))
+        # the adapter state is tiny; plain AdamW with the config's solver
+        # hyperparams (8-bit state would save nothing here)
+        tx = optax.chain(
+            optax.clip_by_global_norm(tcfg.max_grad_norm),
+            optax.adamw(make_lr_schedule(tcfg), b1=tcfg.adam_beta1,
+                        b2=tcfg.adam_beta2, eps=tcfg.adam_epsilon,
+                        weight_decay=tcfg.adam_weight_decay))
+        n_pairs = sum(
+            1 for p, _ in jax.tree_util.tree_flatten_with_path(lora_tree)[0]
+            if jax.tree_util.keystr(p).endswith("['lora_a']"))
+        print(f"[vexpress] LoRA fine-tuning: {n_pairs} adapted projections, "
+              f"rank {lora_cfg.rank}, alpha {lora_cfg.alpha}, modules "
+              f"{list(lora_cfg.modules)} (module_training flags ignored; "
+              f"base weights frozen)")
 
     use_piecewise = args.piecewise == "on" or (
         args.piecewise == "auto" and jax.default_backend() == "tpu"
@@ -208,7 +252,7 @@ def main():
     # frozen ones) — at stage 2 full-tree state would waste GBs of HBM
     from vexpress_tpu.train.train_step import mask_tree
 
-    params_trainable = mask_tree(params, mask)
+    params_trainable = lora_tree if lora_cfg is not None else mask_tree(params, mask)
     mesh = create_mesh() if len(jax.devices()) > 1 else None
     if mesh is not None:
         n_dev = mesh.shape["dp"]
@@ -227,7 +271,12 @@ def main():
                 return jax.tree_util.tree_map(conv, tree)
 
             params = to_global(params, repl)
-            params_trainable = mask_tree(params, mask)
+            pipe.params = params  # the LoRA base must be the global arrays
+            if lora_cfg is not None:
+                lora_tree = to_global(lora_tree, repl)
+                params_trainable = lora_tree
+            else:
+                params_trainable = mask_tree(params, mask)
             # optimizer state born ZeRO-2-sharded straight out of the init
             # program (no host round-trip; works across processes)
             opt_shapes = jax.eval_shape(tx.init, params_trainable)
@@ -237,7 +286,12 @@ def main():
             step0 = to_global(jnp.asarray(0, jnp.int32), repl)
         else:
             params = jax.device_put(params, repl)
-            params_trainable = mask_tree(params, mask)
+            pipe.params = params
+            if lora_cfg is not None:
+                lora_tree = jax.device_put(lora_tree, repl)
+                params_trainable = lora_tree
+            else:
+                params_trainable = mask_tree(params, mask)
             opt_state = tx.init(params_trainable)
             opt_state = jax.device_put(opt_state, shard_opt_state_zero2(opt_state, mesh))
             step0 = jnp.asarray(0, jnp.int32)
@@ -246,12 +300,13 @@ def main():
         batch_sh = None
         opt_state = tx.init(params_trainable)
         step0 = jnp.asarray(0, jnp.int32)
-    state = TrainState(params, opt_state, step0)
+    state = TrainState(lora_tree if lora_cfg is not None else params,
+                       opt_state, step0)
 
     # surface what optimizer state ACTUALLY materialized (the reference ships
     # use_8bit_adam: True in every stage config, training_configs/*.yaml:42 —
     # a config-parity bug here would silently train with 4x the state memory)
-    if tcfg.reduce_optimizer_memory in (True, "8bit"):
+    if lora_cfg is None and tcfg.reduce_optimizer_memory in (True, "8bit"):
         from vexpress_tpu.train.adam8bit import Adam8bitState
 
         if not any(isinstance(l, Adam8bitState) for l in jax.tree_util.tree_leaves(
@@ -276,7 +331,19 @@ def main():
     train_sched = DDIMScheduler(
         **scheduler_kwargs(cfg, cfg.get("enable_zero_snr", True)))
 
-    if use_piecewise:
+    if lora_cfg is not None:
+        if use_piecewise:
+            from vexpress_tpu.train.lora import LoraPiecewiseTrainer
+
+            trainer = LoraPiecewiseTrainer(pipe, tcfg, tx, lora_cfg,
+                                           lora=state.params, scheduler=train_sched)
+            print("[vexpress] piecewise LoRA training mode")
+        else:
+            from vexpress_tpu.train.lora import build_lora_train_step
+
+            step_fn, _ = build_lora_train_step(pipe, tcfg, tx, lora_cfg,
+                                               scheduler=train_sched)
+    elif use_piecewise:
         from vexpress_tpu.train.piecewise_trainer import PiecewiseTrainer
 
         # DP over the mesh composes with the per-block programs through GSPMD
@@ -396,7 +463,16 @@ def main():
                     if isinstance(x, jax.Array) and not x.is_fully_addressable else x,
                     state.params,
                 )
-            if is_main:
+            if is_main and lora_cfg is not None:
+                # LoRA runs export the adapter only (peft layout; merge at
+                # load time with --lora_path on cli/infer.py)
+                from vexpress_tpu.io.torch_export import save_torch_checkpoint
+                from vexpress_tpu.train.lora import lora_to_torch_state_dict
+
+                save_torch_checkpoint(
+                    lora_to_torch_state_dict(export_params, lora_cfg),
+                    os.path.join(out_dir, f"lora-{step_i + 1}.pth"))
+            elif is_main:
                 # save_all=False (reference train.py:677-725): export only the
                 # modules this stage trains; motion_module rides with the
                 # denoising unet either way
@@ -413,6 +489,7 @@ def main():
                                "audio_projection": mt["audio_projection"]}
                     export_modules({k: v for k, v in export_params.items()
                                     if trained.get(k, False)}, out_dir, step_i + 1)
+            if is_main:
                 print(f"[vexpress] checkpoint saved: {path}")
 
     mlog.close()  # finalizes the MLflow run (status FINISHED + end_time)

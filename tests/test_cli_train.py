@@ -51,10 +51,8 @@ def _make_dataset(d):
     return meta_path
 
 
-def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
-    meta_path = _make_dataset(tmp_path)
-    out_dir = str(tmp_path / "out")
-    cfg = {
+def _tiny_cfg(meta_path, out_dir):
+    return {
         "data": {
             "train_bs": 2, "train_width": 64, "train_height": 64,
             "meta_paths": [meta_path], "flip_rate": 0.5, "sample_rate": 1,
@@ -96,6 +94,12 @@ def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
                        "block_out_channels": [4, 4, 8, 8]},
         },
     }
+
+
+def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
+    meta_path = _make_dataset(tmp_path)
+    out_dir = str(tmp_path / "out")
+    cfg = _tiny_cfg(meta_path, out_dir)
     cfg_path = str(tmp_path / "tiny.yaml")
     with open(cfg_path, "w") as f:
         yaml.safe_dump(cfg, f)
@@ -126,3 +130,54 @@ def test_train_cli_runs_two_steps_and_checkpoints(tmp_path):
     assert ckpts, "no checkpoint written at checkpointing_steps=2"
     exports = [f for f in os.listdir(out_dir) if f.endswith(".pth")]
     assert "motion_module-2.pth" in exports, os.listdir(out_dir)
+
+
+def test_train_cli_lora(tmp_path):
+    """LoRA fine-tuning through the REAL CLI (`lora:` config section,
+    piecewise trainer, 2-device mesh), then the exported peft-layout adapter
+    loads and merges against a fresh pipeline of the same architecture."""
+    meta_path = _make_dataset(tmp_path)
+    out_dir = str(tmp_path / "out_lora")
+    cfg = _tiny_cfg(meta_path, out_dir)
+    cfg["lora"] = {"rank": 2, "alpha": 4, "include": "/attn1/"}
+    cfg_path = str(tmp_path / "tiny_lora.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    env = os.environ.copy()
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "cli", "train.py"),
+         "--config", cfg_path, "--device", "cpu", "--piecewise", "on",
+         "--max_steps_override", "2"],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, f"STDOUT:\n{proc.stdout[-4000:]}\nSTDERR:\n{proc.stderr[-4000:]}"
+    assert "LoRA fine-tuning:" in proc.stdout, proc.stdout[-2000:]
+    assert "piecewise LoRA" in proc.stdout
+    assert "step 2/2" in proc.stdout, proc.stdout[-2000:]
+    adapter = os.path.join(out_dir, "lora-2.pth")
+    assert os.path.exists(adapter), os.listdir(out_dir)
+
+    # the exported adapter merges into a fresh same-architecture pipeline
+    # (the cli/infer.py --lora_path load path)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from vexpress_tpu.train.lora import load_and_merge_lora
+
+    from .utils import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    before = pipe.params
+    merged = load_and_merge_lora(pipe.params, adapter)
+    assert (jax.tree_util.tree_structure(merged)
+            == jax.tree_util.tree_structure(before))
+    changed = sum(
+        1 for (p, a), (_p, b) in zip(
+            jax.tree_util.tree_flatten_with_path(before)[0],
+            jax.tree_util.tree_flatten_with_path(merged)[0])
+        if not np.array_equal(np.asarray(a), np.asarray(b)))
+    assert changed > 0  # the trained adapter actually moved kernels
