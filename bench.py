@@ -255,6 +255,11 @@ def main():
             "long_amortized_fps_incl_startup": round(amortized, 3),
             "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
             "long_whole_run_mfu_pct": _mfu_pct(n_long_windows * num_steps, long_s),
+            # conditioning-module params freed from HBM after conditioning
+            # (reference's --save_gpu_memory deletes these modules;
+            # pipeline.release_conditioning_params)
+            "released_cond_mib": round(
+                getattr(pipe, "last_released_cond_mib", 0.0), 1),
         }
         if resident_peak[0]:
             # lower bound on peak HBM (live jax.Array bytes at step

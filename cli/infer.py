@@ -217,8 +217,16 @@ def main():
     if args.lora_path:
         from vexpress_tpu.train.lora import load_and_merge_lora
 
+        pre = pipeline.params
+        pre_host = dict(getattr(pipeline, "_host_cond_params", {}))
         pipeline.params = load_and_merge_lora(
-            pipeline.params, args.lora_path, args.lora_scale)
+            pre, args.lora_path, args.lora_scale)
+        # modules untouched by the adapter pass through as the SAME buffers
+        # (lora.load_and_merge_lora); their host copies stay valid for the
+        # save_memory release/restore path
+        pipeline._host_cond_params = {
+            k: v for k, v in pre_host.items()
+            if pipeline.params.get(k) is pre.get(k)}
         print(f"[vexpress] merged LoRA adapter {args.lora_path}"
               + (f" (scale {args.lora_scale})" if args.lora_scale is not None else ""))
 

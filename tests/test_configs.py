@@ -123,6 +123,14 @@ def test_base_model_path_prior_init(tmp_path):
     got_den = leaf(pipe.params["denoising_unet"]["params"], "conv_in/kernel")
     np.testing.assert_allclose(got_ref, src["conv_in"]["kernel"], atol=1e-6)
     np.testing.assert_allclose(got_den, src["conv_in"]["kernel"], atol=1e-6)
+
+    # load_pipeline stashes zero-copy host references for the conditioning
+    # modules so save_memory can free + restore them without a device->host
+    # round trip (pipeline.release_conditioning_params)
+    assert set(pipe._host_cond_params) == set(pipe._RELEASABLE_COND_MODULES)
+    host_ref = leaf(pipe._host_cond_params["reference_net"]["params"],
+                    "conv_in/kernel")
+    np.testing.assert_array_equal(host_ref, got_ref)
     # attn1 weights land in the 3D net too; attn1_5 has no 2D source
     p3d = pipe.params["denoising_unet"]["params"]
     blk = p3d["down_blocks_0"]["attentions_0"]["transformer_blocks_0"]

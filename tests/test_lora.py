@@ -225,3 +225,27 @@ def test_torch_state_dict_roundtrip(tiny_pipeline):  # noqa: F811
     bad[k0] = np.zeros((2, 9999), np.float32)
     with pytest.raises(ValueError, match="do not fit"):
         lora_from_torch_state_dict(bad, params)
+
+
+def test_load_and_merge_passthrough_identity(tiny_pipeline, tmp_path):  # noqa: F811
+    """load_and_merge_lora only routes adapted top-level modules through the
+    merge program: untouched subtrees come back as the SAME buffers (no
+    transient HBM copy; cli/infer.py relies on `is` to keep the save_memory
+    host copies valid across the merge)."""
+    from vexpress_tpu.io.torch_export import save_torch_checkpoint
+    from vexpress_tpu.train.lora import load_and_merge_lora
+
+    params = tiny_pipeline.params
+    cfg = LoraConfig(rank=2, alpha=16.0, modules=("denoising_unet",))
+    lora = _randomize_b(init_lora(params, cfg))
+    path = str(tmp_path / "adapter.pth")
+    save_torch_checkpoint(lora_to_torch_state_dict(lora, cfg), path)
+
+    merged = load_and_merge_lora(params, path)
+    assert set(merged) == set(params)
+    # adapted module: new tree, values shifted by scale * A@B
+    assert merged["denoising_unet"] is not params["denoising_unet"]
+    # every other module passes through untouched, same object identity
+    for k in params:
+        if k != "denoising_unet":
+            assert merged[k] is params[k], k

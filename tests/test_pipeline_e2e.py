@@ -149,6 +149,50 @@ def test_save_memory_matches_streamed(tiny_pipeline):
     np.testing.assert_allclose(lat_host, lat_normal, atol=1e-5, rtol=1e-5)
 
 
+def test_save_memory_releases_conditioning_params(tiny_pipeline):
+    """--save_gpu_memory parity: after conditioning, a save_memory call frees
+    the reference-net / wav2vec2 / audio-projection device params (the
+    reference deletes these modules, v_express_pipeline.py:473-483, 510-511)
+    and the next call restores them from host copies bit-exactly."""
+    rng = np.random.default_rng(7)
+    H = W = 64
+    L = 12
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(6400,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4, window_group=2,
+        return_latents=True,
+    )
+    lat1 = tiny_pipeline(mode="streamed", save_memory=True, **kwargs)
+    for name in tiny_pipeline._RELEASABLE_COND_MODULES:
+        assert tiny_pipeline.params[name] is None, name
+        assert name in tiny_pipeline._host_cond_params, name
+    assert tiny_pipeline.last_released_cond_mib > 0
+    # the guider is NOT releasable: save_memory streams raw frames through
+    # it per window group DURING the denoise loop
+    assert tiny_pipeline.params["v_kps_guider"] is not None
+    # restore path: the identical call must reproduce identical latents
+    lat2 = tiny_pipeline(mode="streamed", save_memory=True, **kwargs)
+    np.testing.assert_array_equal(np.asarray(lat1), np.asarray(lat2))
+
+    # reassigning params after a release drops the host copies -> loud error
+    tiny_pipeline.ensure_conditioning_params()
+    saved = dict(tiny_pipeline._host_cond_params)
+    released = tiny_pipeline.release_conditioning_params()
+    assert released > 0
+    tiny_pipeline._host_cond_params = {}
+    with pytest.raises(RuntimeError, match="released"):
+        tiny_pipeline.ensure_conditioning_params()
+    # leave the module-scoped fixture fully restored
+    tiny_pipeline._host_cond_params = saved
+    tiny_pipeline.ensure_conditioning_params()
+    for name in tiny_pipeline._RELEASABLE_COND_MODULES:
+        assert tiny_pipeline.params[name] is not None, name
+
+
 def test_shape_bucketing_conditioning(tiny_pipeline):
     """Bucketed conditioning (SURVEY §7 static shapes): chunked kps features
     are exact; bucketed audio equals the unbucketed path when the waveform

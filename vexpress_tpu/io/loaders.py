@@ -317,6 +317,24 @@ def load_pipeline(
 
     # leaves are already in the storage dtype (bf16 halves the bytes through
     # the ~50 MB/s tunnel; device math is identical — bf16-compute modules
-    # cast params to bf16 at every use anyway); upload once, batched
-    pipe.params = jax.device_put(params)
+    # cast params to bf16 at every use anyway). TWO batched async puts, in
+    # pipeline order: the conditioning modules + VAE (~2.0 GB) enqueue FIRST
+    # so the cold call's conditioning programs start as soon as their params
+    # land, while the denoising UNet (~2.6 GB) streams in behind them —
+    # transfers overlap compute on this link (PERFORMANCE.md savemem sweep).
+    # A single put flattens in sorted-key order, which puts denoising_unet
+    # ahead of reference_net/vae and stalls the first program ~the whole
+    # upload.
+    cond_first = {k: v for k, v in params.items() if k != "denoising_unet"}
+    dev = jax.device_put(cond_first)
+    if "denoising_unet" in params:
+        dev.update(jax.device_put({"denoising_unet": params["denoising_unet"]}))
+    pipe.params = {k: dev[k] for k in params}
+    # zero-copy host references for the conditioning-only modules so
+    # save_memory can free their device copies after conditioning and
+    # restore them later without a device->host round trip (pipeline.
+    # release_conditioning_params; reference --save_gpu_memory analog)
+    pipe._host_cond_params = {
+        k: params[k] for k in pipe._RELEASABLE_COND_MODULES if k in params
+    }
     return pipe

@@ -169,6 +169,73 @@ class VExpressPipeline:
                  and k[0] in self._PARAMS_BOUND_CACHE_PREFIXES]
         for k in stale:
             del self._step_cache[k]
+        # host copies of releasable conditioning modules (see
+        # release_conditioning_params) belong to the previous tree
+        self._host_cond_params: Dict[str, Any] = {}
+
+    # --------------------------------------------- save_memory param freeing
+    #
+    # The reference's --save_gpu_memory deletes the reference net, kps guider
+    # and audio projection after conditioning (v_express_pipeline.py:473-483,
+    # 510-511) so the denoise loop runs with only the 3D UNet + VAE resident.
+    # TPU analog: drop the device copies of the conditioning-only subtrees and
+    # clear the jitted conditioning programs — their executables embed the
+    # param buffers as compile-time constants (static `self`), so without the
+    # cache clear the HBM never frees. The persistent compilation cache makes
+    # the eventual re-trace cheap. The kps guider is NOT releasable: under
+    # save_memory the streamed path runs it per window group DURING the loop.
+    _RELEASABLE_COND_MODULES = ("reference_net", "wav2vec2", "audio_projection")
+    _COND_JIT_METHODS = ("_reference_features", "_audio_tokens",
+                         "_wav2vec2_encode_prenorm", "_audio_projection_chunk")
+
+    def release_conditioning_params(self) -> float:
+        """Free the conditioning-only module params from HBM; returns MiB
+        freed. Host copies are kept (captured at load by io/loaders.py, or
+        fetched here as a fallback) so the next `__call__` restores them in
+        one batched upload. The denoising_unet subtree is untouched, so the
+        params-bound step caches stay valid (mutated in place, no gen bump).
+        Note: clearing the conditioning jit caches is class-wide."""
+        host = getattr(self, "_host_cond_params", None)
+        if host is None:
+            host = self._host_cond_params = {}
+        released = []
+        for name in self._RELEASABLE_COND_MODULES:
+            sub = self._params.get(name)
+            if sub is None:
+                continue
+            if name not in host:
+                # slow path (device->host); load_pipeline pre-stashes these
+                host[name] = jax.device_get(sub)
+            released.append(sub)
+            self._params[name] = None
+        if not released:
+            return 0.0
+        for meth in self._COND_JIT_METHODS:
+            getattr(type(self), meth).clear_cache()
+        freed = 0
+        for sub in released:
+            for leaf in jax.tree_util.tree_leaves(sub):
+                freed += leaf.nbytes
+                leaf.delete()
+        return freed / 2**20
+
+    def ensure_conditioning_params(self) -> None:
+        """Re-upload any released conditioning subtrees (one batched
+        device_put from the host copies)."""
+        missing = [k for k in self._RELEASABLE_COND_MODULES
+                   if self._params.get(k, ()) is None]
+        if not missing:
+            return
+        host = getattr(self, "_host_cond_params", {})
+        lost = [k for k in missing if k not in host]
+        if lost:
+            raise RuntimeError(
+                f"conditioning params {lost} were released and no host copy "
+                "exists (params were reassigned after release?) — reload the "
+                "checkpoint")
+        restored = jax.device_put({k: host[k] for k in missing})
+        for k, v in restored.items():
+            self._params[k] = v
 
     # ------------------------------------------------------------ precompute
 
@@ -1004,6 +1071,10 @@ class VExpressPipeline:
             raise ValueError("eta > 0 is the stochastic-DDIM knob; "
                              "dpmpp_2m is a deterministic ODE solver (use eta=0)")
 
+        # a previous save_memory call may have freed the conditioning
+        # modules; restore them (one batched upload) before conditioning
+        self.ensure_conditioning_params()
+
         # uint8 kps frames upload raw (4x less tunnel traffic) and normalize
         # on device inside _kps_features; float inputs upload as compute dtype.
         # save_memory keeps the raw frames HOST-resident instead — only the
@@ -1049,6 +1120,21 @@ class VExpressPipeline:
                     self._audio_tokens, jnp.asarray(audio_waveform, dt), video_length,
                     num_pad_audio_frames, label="audio encoder")
             audio_tok.block_until_ready()
+
+        # --save_gpu_memory parity: the conditioning tensors (ref banks,
+        # audio tokens) are now materialized; free the modules that produced
+        # them so the denoise loop runs leaner (reference deletes these at
+        # v_express_pipeline.py:473-483). ~all of the reference-net + wav2vec2
+        # + audio-projection params leave HBM; restored on the next call.
+        self.last_released_cond_mib = 0.0
+        if save_memory:
+            # block_until_ready can return early through the axon tunnel
+            # (CLAUDE.md); only a device_get truly serializes. Fetch one
+            # scalar from the last consumers' outputs so no conditioning
+            # program can still be reading the params we are about to delete.
+            jax.device_get(ref_feats[-1][(0,) * ref_feats[-1].ndim])
+            jax.device_get(audio_tok[(0,) * audio_tok.ndim])
+            self.last_released_cond_mib = self.release_conditioning_params()
 
         if context_schedule != "uniform":
             # parity with the reference's get_context_scheduler

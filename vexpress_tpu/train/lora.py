@@ -272,8 +272,15 @@ def load_and_merge_lora(params: Dict[str, Any], path: str,
             scale = 1.0
     s = float(scale)
     # one program for the whole merge (per-kernel dispatch costs ~2.5 ms
-    # each through the axon tunnel; there are ~10^2 adapted kernels)
-    return jax.jit(lambda p, l: merge_lora(p, l, s))(params, tree)
+    # each through the axon tunnel; there are ~10^2 adapted kernels) — but
+    # only over the top-level modules the adapter actually touches: the
+    # untouched subtrees pass through as the SAME buffers (no transient
+    # HBM copy of e.g. the VAE, and callers can detect them via `is`)
+    touched = {k: params[k] for k in tree}
+    merged = jax.jit(lambda p, l: merge_lora(p, l, s))(touched, tree)
+    out = dict(params)
+    out.update(merged)
+    return out
 
 
 # ------------------------------------------------------------ trainers
