@@ -16,8 +16,19 @@ It then runs the reference's ACTUAL headline workload — a 930-frame clip
 on V100 INCLUDING model loading) — through `save_memory` + bucketed
 conditioning, and reports the all-inclusive amortized fps
 930 / (startup + long_e2e): the number directly comparable to 0.36
-(VERDICT r2 weak #7). Skipped under --quick or when the host/tunnel is
-weather-bad (cold pass over 25 min) to protect the round artifact.
+(VERDICT r2 weak #7).
+
+BUDGET-AWARE (VERDICT r4 #1): the whole run works against a wall-clock
+budget (VEXPRESS_BENCH_BUDGET_S, default 1680 s — the driver kills the bench
+at ~30 min; r3 died rc=1, r4 died rc=124 mid-long-pass). Before the long
+pass, the remaining budget is checked against a projection built from the
+MEASURED steady-state rate of this very run (×
+long-pass slowdown observed r4: 0.956/1.149, × a weather safety margin);
+when 924 frames don't fit, the pass is time-boxed to the largest
+whole-window length that does (624/464/304/224/144) and reported as such.
+The final headline JSON is ALWAYS printed (never dies with only a
+provisional line); a SIGTERM handler emits it even under the driver's
+timeout.
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec_512x512_25step_e2e", "value": N,
@@ -36,6 +47,43 @@ import numpy as np
 os.environ.setdefault("VEXPRESS_FLASH_BQ", "2048")
 
 BASELINE_FPS = 0.36
+
+# Wall-clock budget for the WHOLE bench process. The driver kills the bench
+# at ~30 min (r4: rc=124 mid-long-pass); default leaves a 2-min margin.
+BENCH_T0 = time.time()
+BUDGET_S = float(os.environ.get("VEXPRESS_BENCH_BUDGET_S", "1680"))
+
+# Measured 124f-steady -> 924f-save_memory slowdown (r4 full bench, rc=0:
+# 1.149 f/s steady vs 0.956 f/s long e2e = x1.20) and a weather safety
+# margin on top — host throughput flaps 0.1-1.6 GB/s over hours (CLAUDE.md),
+# and the long pass's host-side conditioning is the weather-exposed part.
+LONG_SLOWDOWN = 1.20
+WEATHER_MARGIN = 1.30
+
+# whole-window long-pass lengths (24 + 20k), largest-first
+LONG_CANDIDATES = (924, 624, 464, 304, 224, 144)
+
+_final_payload = None  # set before the long pass; SIGTERM backstop prints it
+
+
+def _install_sigterm_backstop():
+    """GNU timeout SIGTERMs before SIGKILL: print the best final (non-
+    provisional) payload so the artifact tail always carries the real
+    metric key, whatever the driver's budget turns out to be."""
+    import signal
+
+    def handler(signum, frame):
+        if _final_payload is not None:
+            payload = dict(_final_payload)
+            payload.setdefault("detail", {})["killed_by_signal"] = signum
+            print(json.dumps(payload), flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, handler)
+
+
+def _remaining_s() -> float:
+    return BUDGET_S - (time.time() - BENCH_T0)
 
 # REAL FLOPs of one production denoise window step (CFG batch 2 x 24-frame
 # window, 64x64 latents, zero-KV CFG fast path traced), counted by XLA's own
@@ -111,6 +159,7 @@ def _peak_hbm_mib():
 def main():
     quick = "--quick" in sys.argv
 
+    _install_sigterm_backstop()
     _require_live_backend()
 
     import jax
@@ -188,38 +237,69 @@ def main():
     steady_fps = video_length / steady_s
     peak_124 = _peak_hbm_mib()  # snapshot BEFORE the 930-frame pass
 
-    # --- the reference's actual workload: 930 frames, amortized all-inclusive
+    # --- the reference's actual workload: 930 frames, amortized all-inclusive.
+    # Budget-aware (VERDICT r4 #1): project the pass from THIS run's measured
+    # steady rate and time-box to the largest whole-window length that fits
+    # the remaining wall-clock budget.
+    global _final_payload
     long_detail = {}
+    long_len = None
     skip_long = quick or "--skip-long" in sys.argv or os.environ.get("VEXPRESS_BENCH_SKIP_LONG")
-    if not skip_long and cold_s > 1500:
-        long_detail["long_skipped_reason"] = (
-            f"cold pass took {cold_s:.0f}s (host/tunnel weather-bad); "
-            "skipping the 930-frame pass to protect the bench artifact")
-        skip_long = True
-    elif skip_long:
+    if skip_long:
         long_detail["long_skipped_reason"] = "--quick/--skip-long"
-    if not skip_long:
-        # Provisional artifact BEFORE the ~15-min 930-frame pass: if the
-        # driver's bench budget kills this process mid-long-pass, the tail
-        # still carries a parseable headline line (the final line below
-        # supersedes it when the full run completes).
-        # On STDOUT so a harness capturing only stdout keeps the fallback if
-        # the process is killed mid-long-pass; the DISTINCT metric key
-        # ("..._provisional") preserves the docstring contract that exactly
-        # one stdout line carries the real metric key.
-        print(json.dumps({
-            "metric": "frames_per_sec_512x512_25step_e2e_provisional",
+    else:
+        proj_fps = steady_fps / LONG_SLOWDOWN / WEATHER_MARGIN
+        # 120 s reserved: final decode/downloads tail + JSON emit + slack
+        fits = [L for L in LONG_CANDIDATES
+                if L / proj_fps + 120.0 <= _remaining_s()]
+        if fits:
+            long_len = fits[0]
+            long_detail["long_budget"] = {
+                "budget_s": BUDGET_S,
+                "remaining_at_decision_s": round(_remaining_s(), 1),
+                "projected_long_s": round(long_len / proj_fps, 1),
+                "time_boxed": long_len != LONG_CANDIDATES[0],
+            }
+        else:
+            long_detail["long_skipped_reason"] = (
+                f"remaining budget {_remaining_s():.0f}s < projected "
+                f"{LONG_CANDIDATES[-1] / proj_fps + 120:.0f}s for even a "
+                f"{LONG_CANDIDATES[-1]}-frame pass (steady {steady_fps:.3f} "
+                "f/s, slowdown x1.20, weather margin x1.30)")
+    def _build_result():
+        return {
+            "metric": "frames_per_sec_512x512_25step_e2e",
             "value": round(steady_fps, 3),
             "unit": "frames/s",
             "vs_baseline": round(steady_fps / BASELINE_FPS, 2),
-            "detail": {"provisional_before_long_pass": True,
-                       "startup_s": round(startup_s, 1),
-                       "cold_e2e_s": round(cold_s, 1),
-                       "steady_e2e_s": round(steady_s, 1)},
-        }), flush=True)
-        from vexpress_tpu.pipelines.context import compute_video_length
+            "detail": {
+                "video_length": video_length,
+                "n_windows": n_windows,
+                "startup_s": round(startup_s, 1),
+                "cold_e2e_s": round(cold_s, 1),
+                "cold_e2e_fps": round(cold_fps, 3),
+                "steady_e2e_s": round(steady_s, 1),
+                "steady_e2e_fps": round(steady_fps, 3),
+                "window_step_gflop": WINDOW_STEP_GFLOP,
+                "steady_whole_run_mfu_pct": _mfu_pct(n_windows * num_steps, steady_s),
+                **({"peak_hbm_mib_124f": peak_124} if peak_124 else {}),
+                **long_detail,
+                "device": str(jax.devices()[0]),
+            },
+        }
 
-        long_len = compute_video_length(930, context_frames, context_overlap)  # 924
+    # From here on the headline is FINAL (not provisional): arm the SIGTERM
+    # backstop with it so a driver kill during the long pass still ships a
+    # complete artifact line.
+    _final_payload = _build_result()
+
+    if long_len is not None:
+        # SIGKILL backstop (distinct metric key, superseded by the final
+        # line): if the driver escalates TERM->KILL mid-long-pass, the tail
+        # still carries a parseable headline.
+        print(json.dumps({**_final_payload,
+                          "metric": _final_payload["metric"] + "_provisional"}),
+              flush=True)
         kps_long = rng.integers(0, 256, (long_len, height, width, 3), dtype=np.uint8)
         wf_long = (0.1 * rng.standard_normal(int(long_len / fps_video * 16000))).astype(np.float32)
 
@@ -237,40 +317,45 @@ def main():
         # keep stdout to JSON metric lines only (the module contract)
         import contextlib
 
-        with contextlib.redirect_stdout(sys.stderr):
-            long_s, video_long = timed_call({**kwargs,
-                                             "kps_images": kps_long,
-                                             "audio_waveform": wf_long,
-                                             "video_length": long_len,
-                                             "save_memory": True,
-                                             "progress_callback": _sample_resident})
-        assert video_long[0].shape == (long_len, height, width)
-        amortized = long_len / (startup_s + long_s)
-        n_long_windows = len(compute_context_windows(
-            long_len, context_frames, context_overlap)[0])
-        long_detail = {
-            "long_video_length": long_len,
-            "long_e2e_s": round(long_s, 1),
-            "long_e2e_fps": round(long_len / long_s, 3),
-            "long_amortized_fps_incl_startup": round(amortized, 3),
-            "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
-            "long_whole_run_mfu_pct": _mfu_pct(n_long_windows * num_steps, long_s),
-            # conditioning-module params freed from HBM after conditioning
-            # (reference's --save_gpu_memory deletes these modules;
-            # pipeline.release_conditioning_params)
-            "released_cond_mib": round(
-                getattr(pipe, "last_released_cond_mib", 0.0), 1),
-        }
-        if resident_peak[0]:
-            # lower bound on peak HBM (live jax.Array bytes at step
-            # boundaries; XLA per-program temps excluded) — the row
-            # comparable to the reference's 7,956 MiB V100 peak
-            long_detail["resident_hbm_peak_mib"] = round(resident_peak[0] / 2**20, 1)
-        peak = _peak_hbm_mib()
-        if peak is not None:
-            # comparable to the reference's 7,956 MiB V100 peak for the same
-            # 930-frame save-memory workload
-            long_detail["peak_hbm_mib"] = peak
+        try:
+            with contextlib.redirect_stdout(sys.stderr):
+                long_s, video_long = timed_call({**kwargs,
+                                                 "kps_images": kps_long,
+                                                 "audio_waveform": wf_long,
+                                                 "video_length": long_len,
+                                                 "save_memory": True,
+                                                 "progress_callback": _sample_resident})
+            assert video_long[0].shape == (long_len, height, width)
+            amortized = long_len / (startup_s + long_s)
+            n_long_windows = len(compute_context_windows(
+                long_len, context_frames, context_overlap)[0])
+            long_detail.update({
+                "long_video_length": long_len,
+                "long_e2e_s": round(long_s, 1),
+                "long_e2e_fps": round(long_len / long_s, 3),
+                "long_amortized_fps_incl_startup": round(amortized, 3),
+                "long_vs_baseline_all_inclusive": round(amortized / BASELINE_FPS, 2),
+                "long_whole_run_mfu_pct": _mfu_pct(n_long_windows * num_steps, long_s),
+                # conditioning-module params freed from HBM after conditioning
+                # (reference's --save_gpu_memory deletes these modules;
+                # pipeline.release_conditioning_params)
+                "released_cond_mib": round(
+                    getattr(pipe, "last_released_cond_mib", 0.0), 1),
+            })
+            if resident_peak[0]:
+                # lower bound on peak HBM (live jax.Array bytes at step
+                # boundaries; XLA per-program temps excluded) — the row
+                # comparable to the reference's 7,956 MiB V100 peak
+                long_detail["resident_hbm_peak_mib"] = round(resident_peak[0] / 2**20, 1)
+            peak = _peak_hbm_mib()
+            if peak is not None:
+                # comparable to the reference's 7,956 MiB V100 peak for the
+                # same 930-frame save-memory workload
+                long_detail["peak_hbm_mib"] = peak
+        except Exception as e:  # r3 died rc=1 HERE — never again: the
+            # headline line must ship even if the long pass breaks
+            long_detail["long_error"] = f"{type(e).__name__}: {e}"[:300]
+        _final_payload = _build_result()
 
     # --- beyond-parity sampler: DPM-Solver++ 2M at 16 steps on the 124-frame
     # clip. 16 is the measured strictly-better-quality point on the REAL
@@ -278,40 +363,26 @@ def main():
     # fine-grid ODE solutions — dpm16 36.35/35.17 dB vs the reference DDIM-25
     # config's 35.50/34.54; dpm14 matches DDIM-25, dpm12 is ~1 dB under).
     # Supplementary ONLY — the headline stays the reference's 25-step DDIM
-    # configuration. VEXPRESS_BENCH_SKIP_DPM=1 skips it.
+    # configuration. VEXPRESS_BENCH_SKIP_DPM=1 skips it; also skipped when
+    # the remaining budget can't cover warm+measured 16-step passes (~2x the
+    # measured steady time + sampler-glue compile slack).
     if not (quick or os.environ.get("VEXPRESS_BENCH_SKIP_DPM")):
-        try:
-            dpm_kwargs = {**kwargs, "num_inference_steps": 16,
-                          "sampler": "dpmpp_2m"}
-            timed_call(dpm_kwargs)  # warm the 16-step programs, unmeasured
-            dpm_s, _ = timed_call(dpm_kwargs)
-            long_detail["dpmpp_2m_16step_e2e_fps"] = round(video_length / dpm_s, 3)
-            long_detail["dpmpp_2m_16step_vs_baseline"] = round(
-                video_length / dpm_s / BASELINE_FPS, 2)
-        except Exception as e:  # never endanger the headline artifact
-            long_detail["dpmpp_2m_16step_error"] = f"{type(e).__name__}: {e}"[:200]
+        if _remaining_s() < 2 * steady_s * 16 / 25 + 120:
+            long_detail["dpmpp_2m_16step_skipped"] = (
+                f"remaining budget {_remaining_s():.0f}s too small")
+        else:
+            try:
+                dpm_kwargs = {**kwargs, "num_inference_steps": 16,
+                              "sampler": "dpmpp_2m"}
+                timed_call(dpm_kwargs)  # warm the 16-step programs, unmeasured
+                dpm_s, _ = timed_call(dpm_kwargs)
+                long_detail["dpmpp_2m_16step_e2e_fps"] = round(video_length / dpm_s, 3)
+                long_detail["dpmpp_2m_16step_vs_baseline"] = round(
+                    video_length / dpm_s / BASELINE_FPS, 2)
+            except Exception as e:  # never endanger the headline artifact
+                long_detail["dpmpp_2m_16step_error"] = f"{type(e).__name__}: {e}"[:200]
 
-    result = {
-        "metric": "frames_per_sec_512x512_25step_e2e",
-        "value": round(steady_fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(steady_fps / BASELINE_FPS, 2),
-        "detail": {
-            "video_length": video_length,
-            "n_windows": n_windows,
-            "startup_s": round(startup_s, 1),
-            "cold_e2e_s": round(cold_s, 1),
-            "cold_e2e_fps": round(cold_fps, 3),
-            "steady_e2e_s": round(steady_s, 1),
-            "steady_e2e_fps": round(steady_fps, 3),
-            "window_step_gflop": WINDOW_STEP_GFLOP,
-            "steady_whole_run_mfu_pct": _mfu_pct(n_windows * num_steps, steady_s),
-            **({"peak_hbm_mib_124f": peak_124} if peak_124 else {}),
-            **long_detail,
-            "device": str(jax.devices()[0]),
-        },
-    }
-    print(json.dumps(result))
+    print(json.dumps(_build_result()))
 
 
 if __name__ == "__main__":

@@ -189,6 +189,475 @@ def is_xformers_available() -> bool:
     return False
 
 
+# ---------------------------------------------------------------------------
+# Full-pipeline stub surface (round 5): everything the reference's
+# unet_2d_condition.py / unet_2d_blocks.py / transformer_2d.py / unet_3d.py /
+# v_express_pipeline.py additionally import, so the WHOLE reference stack
+# loads verbatim for the cross-framework parity test
+# (tests/test_parity_full_pipeline.py). Clean-room implementations of the
+# public diffusers v0.24 semantics the reference was written against.
+# ---------------------------------------------------------------------------
+
+import inspect as _inspect
+import logging as _pylogging
+import math as _math
+
+import numpy as _np
+
+
+class FrozenDict(dict):
+    """diffusers config object: dict with attribute access."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
+class ConfigMixin:
+    def register_to_config(self, **kwargs):
+        self._internal_dict = FrozenDict(kwargs)
+
+    @property
+    def config(self):
+        return self._internal_dict
+
+
+def register_to_config(init):
+    """Decorator form (diffusers.configuration_utils.register_to_config):
+    capture the bound __init__ args into self.config, then run __init__."""
+
+    def inner(self, *args, **kwargs):
+        sig = _inspect.signature(init)
+        bound = sig.bind(self, *args, **kwargs)
+        bound.apply_defaults()
+        cfg = {k: v for k, v in bound.arguments.items() if k != "self"}
+        cfg.pop("kwargs", None)
+        ConfigMixin.register_to_config(self, **cfg)
+        init(self, *args, **kwargs)
+
+    return inner
+
+
+class ModelMixinFull(nn.Module):
+    """diffusers ModelMixin: nn.Module + dtype/device properties."""
+
+    @property
+    def dtype(self):
+        return next(self.parameters()).dtype
+
+    @property
+    def device(self):
+        return next(self.parameters()).device
+
+
+class UNet2DConditionLoadersMixin:
+    pass
+
+
+def get_activation(name):
+    return {"silu": nn.SiLU(), "swish": nn.SiLU(), "mish": nn.Mish(),
+            "gelu": nn.GELU(), "relu": nn.ReLU()}[name]
+
+
+def get_timestep_embedding(timesteps, embedding_dim, flip_sin_to_cos=False,
+                           downscale_freq_shift=1.0, scale=1.0, max_period=10000):
+    half_dim = embedding_dim // 2
+    exponent = -_math.log(max_period) * torch.arange(
+        half_dim, dtype=torch.float32, device=timesteps.device)
+    exponent = exponent / (half_dim - downscale_freq_shift)
+    emb = torch.exp(exponent)
+    emb = timesteps.float()[:, None] * emb[None, :]
+    emb = scale * emb
+    emb = torch.cat([torch.sin(emb), torch.cos(emb)], dim=-1)
+    if flip_sin_to_cos:
+        emb = torch.cat([emb[:, half_dim:], emb[:, :half_dim]], dim=-1)
+    if embedding_dim % 2 == 1:
+        emb = F.pad(emb, (0, 1, 0, 0))
+    return emb
+
+
+class Timesteps(nn.Module):
+    def __init__(self, num_channels, flip_sin_to_cos, downscale_freq_shift):
+        super().__init__()
+        self.num_channels = num_channels
+        self.flip_sin_to_cos = flip_sin_to_cos
+        self.downscale_freq_shift = downscale_freq_shift
+
+    def forward(self, timesteps):
+        return get_timestep_embedding(
+            timesteps, self.num_channels, flip_sin_to_cos=self.flip_sin_to_cos,
+            downscale_freq_shift=self.downscale_freq_shift)
+
+
+class TimestepEmbedding(nn.Module):
+    def __init__(self, in_channels, time_embed_dim, act_fn="silu", out_dim=None,
+                 post_act_fn=None, cond_proj_dim=None, sample_proj_bias=True):
+        super().__init__()
+        assert post_act_fn is None and cond_proj_dim is None, "stub: unused path"
+        self.linear_1 = nn.Linear(in_channels, time_embed_dim, sample_proj_bias)
+        self.act = get_activation(act_fn)
+        self.linear_2 = nn.Linear(
+            time_embed_dim, out_dim or time_embed_dim, sample_proj_bias)
+
+    def forward(self, sample, condition=None):
+        assert condition is None, "stub: timestep_cond unused by V-Express"
+        return self.linear_2(self.act(self.linear_1(sample)))
+
+
+class LoRACompatibleConv(nn.Conv2d):
+    def forward(self, hidden_states, scale=1.0):
+        return super().forward(hidden_states)
+
+
+class LoRACompatibleLinear(nn.Linear):
+    def forward(self, hidden_states, scale=1.0):
+        return super().forward(hidden_states)
+
+
+class ResnetBlock2D(nn.Module):
+    """diffusers.models.resnet.ResnetBlock2D, the SD1.5 path (pre_norm,
+    default time_embedding_norm, no up/down sampling inside the block)."""
+
+    def __init__(self, *, in_channels, out_channels=None, conv_shortcut=False,
+                 dropout=0.0, temb_channels=512, groups=32, groups_out=None,
+                 pre_norm=True, eps=1e-6, non_linearity="swish",
+                 skip_time_act=False, time_embedding_norm="default",
+                 kernel=None, output_scale_factor=1.0, use_in_shortcut=None,
+                 up=False, down=False, conv_shortcut_bias=True,
+                 conv_2d_out_channels=None):
+        super().__init__()
+        assert pre_norm and not up and not down and kernel is None
+        assert time_embedding_norm == "default" and not skip_time_act
+        out_channels = out_channels or in_channels
+        groups_out = groups_out or groups
+        self.in_channels = in_channels
+        self.out_channels = out_channels
+        self.output_scale_factor = output_scale_factor
+        self.norm1 = nn.GroupNorm(groups, in_channels, eps=eps, affine=True)
+        self.conv1 = LoRACompatibleConv(in_channels, out_channels, 3, 1, 1)
+        self.time_emb_proj = (
+            LoRACompatibleLinear(temb_channels, out_channels)
+            if temb_channels is not None else None)
+        self.norm2 = nn.GroupNorm(groups_out, out_channels, eps=eps, affine=True)
+        self.dropout = nn.Dropout(dropout)
+        conv_2d_out_channels = conv_2d_out_channels or out_channels
+        self.conv2 = LoRACompatibleConv(out_channels, conv_2d_out_channels, 3, 1, 1)
+        self.nonlinearity = get_activation(non_linearity)
+        self.use_in_shortcut = (in_channels != conv_2d_out_channels
+                                if use_in_shortcut is None else use_in_shortcut)
+        self.conv_shortcut = None
+        if self.use_in_shortcut:
+            self.conv_shortcut = LoRACompatibleConv(
+                in_channels, conv_2d_out_channels, 1, 1, 0, bias=conv_shortcut_bias)
+
+    def forward(self, input_tensor, temb, scale=1.0):
+        hidden_states = self.norm1(input_tensor)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.conv1(hidden_states)
+        if self.time_emb_proj is not None and temb is not None:
+            temb = self.time_emb_proj(self.nonlinearity(temb))[:, :, None, None]
+            hidden_states = hidden_states + temb
+        hidden_states = self.norm2(hidden_states)
+        hidden_states = self.nonlinearity(hidden_states)
+        hidden_states = self.dropout(hidden_states)
+        hidden_states = self.conv2(hidden_states)
+        if self.conv_shortcut is not None:
+            input_tensor = self.conv_shortcut(input_tensor)
+        return (input_tensor + hidden_states) / self.output_scale_factor
+
+
+class Downsample2D(nn.Module):
+    def __init__(self, channels, use_conv=False, out_channels=None, padding=1,
+                 name="conv"):
+        super().__init__()
+        self.channels = channels
+        self.out_channels = out_channels or channels
+        self.padding = padding
+        assert use_conv, "stub: SD1.5 always uses conv downsampling"
+        self.conv = LoRACompatibleConv(
+            self.channels, self.out_channels, 3, stride=2, padding=padding)
+
+    def forward(self, hidden_states, scale=1.0):
+        return self.conv(hidden_states)
+
+
+class Upsample2D(nn.Module):
+    def __init__(self, channels, use_conv=False, use_conv_transpose=False,
+                 out_channels=None, name="conv"):
+        super().__init__()
+        self.channels = channels
+        self.out_channels = out_channels or channels
+        assert use_conv and not use_conv_transpose, "stub: SD1.5 conv upsample"
+        self.conv = LoRACompatibleConv(self.channels, self.out_channels, 3, 1, 1)
+
+    def forward(self, hidden_states, output_size=None, scale=1.0):
+        if output_size is None:
+            hidden_states = F.interpolate(hidden_states, scale_factor=2.0,
+                                          mode="nearest")
+        else:
+            hidden_states = F.interpolate(hidden_states, size=output_size,
+                                          mode="nearest")
+        return self.conv(hidden_states)
+
+
+class DualTransformer2DModel(_Unused):
+    pass
+
+
+class AdaLayerNormSingle(_Unused):
+    pass
+
+
+class AttnAddedKVProcessor(_Unused):
+    pass
+
+
+AttentionProcessor = object  # typing alias in diffusers; annotations only
+ADDED_KV_ATTENTION_PROCESSORS = ()
+CROSS_ATTENTION_PROCESSORS = ()
+USE_PEFT_BACKEND = False
+SAFETENSORS_WEIGHTS_NAME = "diffusion_pytorch_model.safetensors"
+WEIGHTS_NAME = "diffusion_pytorch_model.bin"
+
+
+def deprecate(*args, **kwargs):
+    return None
+
+
+def is_torch_version(operation, version):
+    return True  # only gates gradient-checkpointing kwargs (eval-only here)
+
+
+def scale_lora_layers(model, weight):
+    pass
+
+
+def unscale_lora_layers(model, weight=None):
+    pass
+
+
+def apply_freeu(*args, **kwargs):
+    raise NotImplementedError("stub: FreeU is never enabled by V-Express")
+
+
+def randn_tensor(shape, generator=None, device=None, dtype=None, layout=None):
+    """diffusers.utils.torch_utils.randn_tensor: sample on the generator's
+    device (CPU here), then move — keeps draws generator-deterministic."""
+    assert not isinstance(generator, list), "stub: single generator only"
+    t = torch.randn(shape, generator=generator, dtype=dtype,
+                    layout=layout or torch.strided, device=torch.device("cpu"))
+    return t.to(device) if device is not None else t
+
+
+class VaeImageProcessor:
+    """Subset: preprocess of an (H, W, 3) float [0,1] numpy array (or a list
+    of them) to (B, 3, H, W) torch, optionally normalized to [-1, 1]."""
+
+    def __init__(self, do_resize=True, vae_scale_factor=8, resample="lanczos",
+                 do_normalize=True, do_binarize=False, do_convert_rgb=False,
+                 do_convert_grayscale=False):
+        self.do_normalize = do_normalize
+
+    def preprocess(self, image, height=None, width=None):
+        if isinstance(image, (list, tuple)):
+            arrs = [self.preprocess(i, height, width) for i in image]
+            return torch.cat(arrs, dim=0)
+        arr = _np.asarray(image, dtype=_np.float32)
+        assert arr.ndim == 3 and arr.shape[-1] == 3, arr.shape
+        if height is not None:
+            assert arr.shape[0] == height and arr.shape[1] == width, \
+                "stub: resize path unused (inputs pre-sized in tests)"
+        t = torch.from_numpy(arr.transpose(2, 0, 1))[None]
+        if self.do_normalize:
+            t = 2.0 * t - 1.0
+        return t
+
+
+def _rescale_zero_terminal_snr(betas):
+    """Lin et al. (2305.08891) eq. 5-9, as in diffusers DDIMScheduler."""
+    alphas = 1.0 - betas
+    alphas_cumprod = torch.cumprod(alphas, dim=0)
+    alphas_bar_sqrt = alphas_cumprod.sqrt()
+    a0 = alphas_bar_sqrt[0].clone()
+    aT = alphas_bar_sqrt[-1].clone()
+    alphas_bar_sqrt = alphas_bar_sqrt - aT
+    alphas_bar_sqrt = alphas_bar_sqrt * a0 / (a0 - aT)
+    alphas_bar = alphas_bar_sqrt ** 2
+    alphas = alphas_bar[1:] / alphas_bar[:-1]
+    alphas = torch.cat([alphas_bar[0:1], alphas])
+    return 1.0 - alphas
+
+
+class _SchedOut:
+    def __init__(self, prev_sample):
+        self.prev_sample = prev_sample
+
+
+class DDIMScheduler:
+    """Clean-room diffusers DDIMScheduler: the inference_v2.yaml configuration
+    (scaled_linear betas, v_prediction, rescale_betas_zero_snr, trailing
+    spacing, clip_sample=False) plus the epsilon/leading defaults."""
+
+    order = 1
+
+    def __init__(self, num_train_timesteps=1000, beta_start=0.0001,
+                 beta_end=0.02, beta_schedule="linear", trained_betas=None,
+                 clip_sample=True, set_alpha_to_one=True, steps_offset=0,
+                 prediction_type="epsilon", thresholding=False,
+                 dynamic_thresholding_ratio=0.995, clip_sample_range=1.0,
+                 sample_max_value=1.0, timestep_spacing="leading",
+                 rescale_betas_zero_snr=False):
+        assert trained_betas is None and not thresholding
+        self.config = FrozenDict(
+            num_train_timesteps=num_train_timesteps, beta_start=beta_start,
+            beta_end=beta_end, beta_schedule=beta_schedule,
+            clip_sample=clip_sample, set_alpha_to_one=set_alpha_to_one,
+            steps_offset=steps_offset, prediction_type=prediction_type,
+            clip_sample_range=clip_sample_range,
+            timestep_spacing=timestep_spacing,
+            rescale_betas_zero_snr=rescale_betas_zero_snr)
+        if beta_schedule == "linear":
+            betas = torch.linspace(beta_start, beta_end, num_train_timesteps,
+                                   dtype=torch.float32)
+        elif beta_schedule == "scaled_linear":
+            betas = torch.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                                   num_train_timesteps,
+                                   dtype=torch.float32) ** 2
+        else:
+            raise NotImplementedError(beta_schedule)
+        if rescale_betas_zero_snr:
+            betas = _rescale_zero_terminal_snr(betas)
+        self.betas = betas
+        self.alphas = 1.0 - betas
+        self.alphas_cumprod = torch.cumprod(self.alphas, dim=0)
+        self.final_alpha_cumprod = (torch.tensor(1.0) if set_alpha_to_one
+                                    else self.alphas_cumprod[0])
+        self.init_noise_sigma = 1.0
+        self.num_inference_steps = None
+        self.timesteps = torch.from_numpy(
+            _np.arange(0, num_train_timesteps)[::-1].copy().astype(_np.int64))
+
+    def scale_model_input(self, sample, timestep=None):
+        return sample
+
+    def set_timesteps(self, num_inference_steps, device=None):
+        T = self.config.num_train_timesteps
+        self.num_inference_steps = num_inference_steps
+        spacing = self.config.timestep_spacing
+        if spacing == "trailing":
+            step_ratio = T / num_inference_steps
+            timesteps = _np.round(
+                _np.arange(T, 0, -step_ratio)).astype(_np.int64) - 1
+        elif spacing == "leading":
+            step_ratio = T // num_inference_steps
+            timesteps = (_np.arange(0, num_inference_steps) * step_ratio
+                         ).round()[::-1].copy().astype(_np.int64)
+            timesteps += self.config.steps_offset
+        elif spacing == "linspace":
+            timesteps = _np.linspace(0, T - 1, num_inference_steps
+                                     ).round()[::-1].copy().astype(_np.int64)
+        else:
+            raise NotImplementedError(spacing)
+        self.timesteps = torch.from_numpy(timesteps)
+        if device is not None:
+            self.timesteps = self.timesteps.to(device)
+
+    def _get_variance(self, timestep, prev_timestep):
+        alpha_prod_t = self.alphas_cumprod[timestep]
+        alpha_prod_t_prev = (self.alphas_cumprod[prev_timestep]
+                             if prev_timestep >= 0 else self.final_alpha_cumprod)
+        beta_prod_t = 1 - alpha_prod_t
+        beta_prod_t_prev = 1 - alpha_prod_t_prev
+        return (beta_prod_t_prev / beta_prod_t) * (
+            1 - alpha_prod_t / alpha_prod_t_prev)
+
+    def step(self, model_output, timestep, sample, eta=0.0,
+             use_clipped_model_output=False, generator=None,
+             variance_noise=None, return_dict=True):
+        assert not use_clipped_model_output
+        t = int(timestep)
+        prev_timestep = t - self.config.num_train_timesteps // self.num_inference_steps
+        alpha_prod_t = self.alphas_cumprod[t]
+        alpha_prod_t_prev = (self.alphas_cumprod[prev_timestep]
+                             if prev_timestep >= 0 else self.final_alpha_cumprod)
+        beta_prod_t = 1 - alpha_prod_t
+        ptype = self.config.prediction_type
+        if ptype == "epsilon":
+            pred_original = (sample - beta_prod_t ** 0.5 * model_output) / alpha_prod_t ** 0.5
+            pred_epsilon = model_output
+        elif ptype == "v_prediction":
+            pred_original = alpha_prod_t ** 0.5 * sample - beta_prod_t ** 0.5 * model_output
+            pred_epsilon = alpha_prod_t ** 0.5 * model_output + beta_prod_t ** 0.5 * sample
+        elif ptype == "sample":
+            pred_original = model_output
+            pred_epsilon = (sample - alpha_prod_t ** 0.5 * pred_original) / beta_prod_t ** 0.5
+        else:
+            raise NotImplementedError(ptype)
+        if self.config.clip_sample:
+            r = self.config.clip_sample_range
+            pred_original = pred_original.clamp(-r, r)
+        std_dev_t = 0.0
+        if eta > 0:
+            std_dev_t = eta * self._get_variance(t, prev_timestep) ** 0.5
+        direction = (1 - alpha_prod_t_prev - std_dev_t ** 2) ** 0.5 * pred_epsilon
+        prev_sample = alpha_prod_t_prev ** 0.5 * pred_original + direction
+        if eta > 0:
+            noise = (variance_noise if variance_noise is not None else
+                     randn_tensor(model_output.shape, generator=generator,
+                                  dtype=model_output.dtype))
+            prev_sample = prev_sample + std_dev_t * noise
+        return _SchedOut(prev_sample) if return_dict else (prev_sample,)
+
+
+class PNDMScheduler(_Unused):
+    pass
+
+
+class LMSDiscreteScheduler(_Unused):
+    pass
+
+
+class EulerDiscreteScheduler(_Unused):
+    pass
+
+
+class EulerAncestralDiscreteScheduler(_Unused):
+    pass
+
+
+class DPMSolverMultistepScheduler(_Unused):
+    pass
+
+
+def is_accelerate_available():
+    return False
+
+
+class DiffusionPipeline:
+    """Subset: attribute registry + progress bar + cpu device/fp32 dtype."""
+
+    def __init__(self):
+        pass
+
+    def register_modules(self, **kwargs):
+        for name, module in kwargs.items():
+            setattr(self, name, module)
+
+    @property
+    def device(self):
+        return torch.device("cpu")
+
+    @property
+    def dtype(self):
+        return torch.float32
+
+    def progress_bar(self, total=None):
+        from tqdm import tqdm
+        return tqdm(total=total, disable=True)
+
+
 def install():
     """Register this stub as `diffusers` in sys.modules (idempotent)."""
     if "diffusers" in sys.modules and getattr(
@@ -209,25 +678,103 @@ def install():
     attention_processor = types.ModuleType("diffusers.models.attention_processor")
     attention_processor.Attention = Attention
     attention_processor.AttnProcessor = AttnProcessor
+    attention_processor.AttnAddedKVProcessor = AttnAddedKVProcessor
+    attention_processor.AttentionProcessor = AttentionProcessor
+    attention_processor.ADDED_KV_ATTENTION_PROCESSORS = ADDED_KV_ATTENTION_PROCESSORS
+    attention_processor.CROSS_ATTENTION_PROCESSORS = CROSS_ATTENTION_PROCESSORS
 
     embeddings = types.ModuleType("diffusers.models.embeddings")
     embeddings.SinusoidalPositionalEmbedding = SinusoidalPositionalEmbedding
+    embeddings.Timesteps = Timesteps
+    embeddings.TimestepEmbedding = TimestepEmbedding
+    for _unused_name in ("GaussianFourierProjection", "ImageHintTimeEmbedding",
+                         "ImageProjection", "ImageTimeEmbedding",
+                         "TextImageProjection", "TextImageTimeEmbedding",
+                         "TextTimeEmbedding", "PositionNet", "CaptionProjection"):
+        setattr(embeddings, _unused_name,
+                type(_unused_name, (_Unused,), {}))
 
     modeling_utils = types.ModuleType("diffusers.models.modeling_utils")
-    modeling_utils.ModelMixin = nn.Module
+    modeling_utils.ModelMixin = ModelMixinFull
+
+    activations = types.ModuleType("diffusers.models.activations")
+    activations.get_activation = get_activation
+
+    resnet_mod = types.ModuleType("diffusers.models.resnet")
+    resnet_mod.ResnetBlock2D = ResnetBlock2D
+    resnet_mod.Downsample2D = Downsample2D
+    resnet_mod.Upsample2D = Upsample2D
+
+    lora_mod = types.ModuleType("diffusers.models.lora")
+    lora_mod.LoRACompatibleConv = LoRACompatibleConv
+    lora_mod.LoRACompatibleLinear = LoRACompatibleLinear
+
+    normalization = types.ModuleType("diffusers.models.normalization")
+    normalization.AdaLayerNormSingle = AdaLayerNormSingle
+
+    transformers_mod = types.ModuleType("diffusers.models.transformers")
+    dual_t2d = types.ModuleType("diffusers.models.transformers.dual_transformer_2d")
+    dual_t2d.DualTransformer2DModel = DualTransformer2DModel
+    transformers_mod.dual_transformer_2d = dual_t2d
+
+    configuration_utils = types.ModuleType("diffusers.configuration_utils")
+    configuration_utils.ConfigMixin = ConfigMixin
+    configuration_utils.register_to_config = register_to_config
+    configuration_utils.FrozenDict = FrozenDict
+
+    loaders = types.ModuleType("diffusers.loaders")
+    loaders.UNet2DConditionLoadersMixin = UNet2DConditionLoadersMixin
 
     utils = types.ModuleType("diffusers.utils")
     utils.BaseOutput = BaseOutput
+    utils.USE_PEFT_BACKEND = USE_PEFT_BACKEND
+    utils.SAFETENSORS_WEIGHTS_NAME = SAFETENSORS_WEIGHTS_NAME
+    utils.WEIGHTS_NAME = WEIGHTS_NAME
+    utils.deprecate = deprecate
+    utils.is_torch_version = is_torch_version
+    utils.is_accelerate_available = is_accelerate_available
+    utils.scale_lora_layers = scale_lora_layers
+    utils.unscale_lora_layers = unscale_lora_layers
     import_utils = types.ModuleType("diffusers.utils.import_utils")
     import_utils.is_xformers_available = is_xformers_available
     utils.import_utils = import_utils
+    logging_mod = types.ModuleType("diffusers.utils.logging")
+    logging_mod.get_logger = lambda name=None: _pylogging.getLogger(
+        name or "diffusers")
+    utils.logging = logging_mod
+    torch_utils = types.ModuleType("diffusers.utils.torch_utils")
+    torch_utils.randn_tensor = randn_tensor
+    torch_utils.apply_freeu = apply_freeu
+    utils.torch_utils = torch_utils
+
+    image_processor = types.ModuleType("diffusers.image_processor")
+    image_processor.VaeImageProcessor = VaeImageProcessor
+
+    schedulers = types.ModuleType("diffusers.schedulers")
+    for _sched in (DDIMScheduler, PNDMScheduler, LMSDiscreteScheduler,
+                   EulerDiscreteScheduler, EulerAncestralDiscreteScheduler,
+                   DPMSolverMultistepScheduler):
+        setattr(schedulers, _sched.__name__, _sched)
+        setattr(diffusers, _sched.__name__, _sched)
+
+    diffusers.DiffusionPipeline = DiffusionPipeline
 
     models.attention = attention
     models.attention_processor = attention_processor
     models.embeddings = embeddings
     models.modeling_utils = modeling_utils
+    models.activations = activations
+    models.resnet = resnet_mod
+    models.lora = lora_mod
+    models.normalization = normalization
+    models.transformers = transformers_mod
+    models.ModelMixin = ModelMixinFull  # `from diffusers.models import ModelMixin`
     diffusers.models = models
     diffusers.utils = utils
+    diffusers.schedulers = schedulers
+    diffusers.image_processor = image_processor
+    diffusers.configuration_utils = configuration_utils
+    diffusers.loaders = loaders
 
     sys.modules["diffusers"] = diffusers
     sys.modules["diffusers.models"] = models
@@ -235,5 +782,17 @@ def install():
     sys.modules["diffusers.models.attention_processor"] = attention_processor
     sys.modules["diffusers.models.embeddings"] = embeddings
     sys.modules["diffusers.models.modeling_utils"] = modeling_utils
+    sys.modules["diffusers.models.activations"] = activations
+    sys.modules["diffusers.models.resnet"] = resnet_mod
+    sys.modules["diffusers.models.lora"] = lora_mod
+    sys.modules["diffusers.models.normalization"] = normalization
+    sys.modules["diffusers.models.transformers"] = transformers_mod
+    sys.modules["diffusers.models.transformers.dual_transformer_2d"] = dual_t2d
     sys.modules["diffusers.utils"] = utils
     sys.modules["diffusers.utils.import_utils"] = import_utils
+    sys.modules["diffusers.utils.logging"] = logging_mod
+    sys.modules["diffusers.utils.torch_utils"] = torch_utils
+    sys.modules["diffusers.image_processor"] = image_processor
+    sys.modules["diffusers.schedulers"] = schedulers
+    sys.modules["diffusers.configuration_utils"] = configuration_utils
+    sys.modules["diffusers.loaders"] = loaders
