@@ -241,7 +241,8 @@ def register_to_config(init):
 
 
 class ModelMixinFull(nn.Module):
-    """diffusers ModelMixin: nn.Module + dtype/device properties."""
+    """diffusers ModelMixin: nn.Module + dtype/device properties + the
+    config-attribute fallback (`unet.in_channels` -> config)."""
 
     @property
     def dtype(self):
@@ -250,6 +251,12 @@ class ModelMixinFull(nn.Module):
     @property
     def device(self):
         return next(self.parameters()).device
+
+    def __getattr__(self, name):
+        d = self.__dict__.get("_internal_dict")
+        if d is not None and name in d:
+            return d[name]
+        return super().__getattr__(name)
 
 
 class UNet2DConditionLoadersMixin:

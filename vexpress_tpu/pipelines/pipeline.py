@@ -1053,6 +1053,10 @@ class VExpressPipeline:
         median_filter: bool = False,  # on-device 3x3x3 flicker filter (save_video's)
         output_uint8: bool = False,  # download uint8 (4x less tunnel traffic)
         output_yuv420: bool = False,  # download YUV420 planes (6x less; native encoder)
+        latents: Optional[np.ndarray] = None,  # (L, h, w, 4) initial noise; the
+        # reference's prepare_latents override (v_express_pipeline.py:189-224):
+        # caller-provided unit noise, scaled by init_noise_sigma here. Used by
+        # the cross-framework parity test to share the torch draw.
         progress_callback=None,
     ) -> np.ndarray:
         """Generate a talking-head video. Returns (L, H, W, 3) float32 in
@@ -1144,7 +1148,13 @@ class VExpressPipeline:
 
         key = jax.random.PRNGKey(seed)
         h, w = height // 8, width // 8
-        latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
+        if latents is not None:
+            latents = jnp.asarray(latents, jnp.float32)
+            if latents.shape != (video_length, h, w, 4):
+                raise ValueError(
+                    f"latents shape {latents.shape} != {(video_length, h, w, 4)}")
+        else:
+            latents = jax.random.normal(key, (video_length, h, w, 4), jnp.float32)
         latents = latents * self.scheduler.init_noise_sigma
 
         # length bucketing for the L-shaped glue programs (gather, scatter-add,
