@@ -219,14 +219,13 @@ def main():
 
         pre = pipeline.params
         pre_host = dict(getattr(pipeline, "_host_cond_params", {}))
-        pipeline.params = load_and_merge_lora(
-            pre, args.lora_path, args.lora_scale)
-        # modules untouched by the adapter pass through as the SAME buffers
-        # (lora.load_and_merge_lora); their host copies stay valid for the
-        # save_memory release/restore path
-        pipeline._host_cond_params = {
-            k: v for k, v in pre_host.items()
-            if pipeline.params.get(k) is pre.get(k)}
+        # host copies of adapter-touched releasable modules are re-merged ON
+        # HOST (cheap low-rank numpy math) so the save_memory release never
+        # falls back to a device->host download (ADVICE r4 #3); untouched
+        # modules pass through as the SAME buffers and keep their copies
+        pipeline.params, merged_host = load_and_merge_lora(
+            pre, args.lora_path, args.lora_scale, host_params=pre_host)
+        pipeline._host_cond_params = merged_host
         print(f"[vexpress] merged LoRA adapter {args.lora_path}"
               + (f" (scale {args.lora_scale})" if args.lora_scale is not None else ""))
 

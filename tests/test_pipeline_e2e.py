@@ -557,14 +557,21 @@ def test_params_reload_evicts_stale_step_closures(tiny_pipeline):
         context_frames=8, context_overlap=4,
         return_latents=True,
     )
+    from vexpress_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh()
     old_params = tiny_pipeline.params
     try:
         lat_a_fused = tiny_pipeline(mode="fused", **kwargs)
         lat_a_streamed = tiny_pipeline(mode="streamed", **kwargs)
+        # sharded mode: the replicated-UNet device copy ("unet_params_repl")
+        # is the exact stale-capture the r3 advisor flagged
+        lat_a_sharded = tiny_pipeline(mode="sharded", mesh=mesh, **kwargs)
         # params-bound entries are in the cache now
         bound = [k for k in tiny_pipeline._step_cache
                  if k[0] in tiny_pipeline._PARAMS_BOUND_CACHE_PREFIXES]
         assert bound, "expected fused/group entries in the step cache"
+        assert any(k[0] in ("unet_params_repl", "sharded") for k in bound)
 
         new_params = dict(old_params)
         new_params["denoising_unet"] = jax.tree.map(
@@ -575,11 +582,48 @@ def test_params_reload_evicts_stale_step_closures(tiny_pipeline):
 
         lat_b_fused = tiny_pipeline(mode="fused", **kwargs)
         lat_b_streamed = tiny_pipeline(mode="streamed", **kwargs)
+        lat_b_sharded = tiny_pipeline(mode="sharded", mesh=mesh, **kwargs)
         # the new weights must actually be used...
         assert np.abs(lat_b_fused - lat_a_fused).max() > 1e-4
         assert np.abs(lat_b_streamed - lat_a_streamed).max() > 1e-4
-        # ...and both modes agree under them
+        assert np.abs(lat_b_sharded - lat_a_sharded).max() > 1e-4
+        # ...and all modes agree under them
         np.testing.assert_allclose(lat_b_streamed, lat_b_fused, atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(lat_b_sharded, lat_b_streamed, atol=1e-5, rtol=1e-5)
+    finally:
+        tiny_pipeline.params = old_params
+
+
+def test_params_reload_refreshes_conditioning_jits(tiny_pipeline):
+    """ADVICE r4 #1: the static-self conditioning jits (_reference_features,
+    _audio_tokens, _encode_reference, ...) capture param buffers as compile-
+    time CONSTANTS; the params setter must clear their caches, otherwise a
+    reloaded checkpoint denoises with stale conditioning (and pins the old
+    buffers in device memory)."""
+    rng = np.random.default_rng(23)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4266,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+        return_latents=True,
+    )
+    old_params = tiny_pipeline.params
+    try:
+        lat_a = tiny_pipeline(mode="streamed", **kwargs)
+        # change ONLY a conditioning module: if its jitted method served the
+        # stale executable, the output would be bit-identical to lat_a
+        new_params = dict(old_params)
+        new_params["reference_net"] = jax.tree.map(
+            lambda x: x * 1.5, old_params["reference_net"])
+        tiny_pipeline.params = new_params
+        lat_b = tiny_pipeline(mode="streamed", **kwargs)
+        assert np.abs(lat_b - lat_a).max() > 1e-4, (
+            "stale conditioning jit served after params reload")
     finally:
         tiny_pipeline.params = old_params
 

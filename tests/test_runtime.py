@@ -75,3 +75,68 @@ def test_metrics_logger_mlflow_filestore(tmp_path):
     assert float(value) == 0.25 and int(step) == 2 and int(ts) > 1e12
     # it_per_s only logged at step 2
     assert len(open(os.path.join(run_dir, "metrics", "it_per_s")).read().splitlines()) == 1
+
+
+def test_quantized_upload_roundtrip():
+    """INT8 quantized param upload (io/loaders._quantized_device_put,
+    VEXPRESS_QUANT_UPLOAD=1): large float kernels round-trip within the
+    127-level per-channel grid (<=0.5% of the channel amax), small leaves
+    (biases, norm scales) and int leaves stay EXACT, dtypes preserved."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from vexpress_tpu.io.loaders import _quantized_device_put
+
+    rng = np.random.default_rng(0)
+    kernel = (rng.standard_normal((64, 512)) *
+              np.exp(rng.uniform(-3, 1, (1, 512)))).astype(np.float32)
+    kb16 = rng.standard_normal((320, 64)).astype(jnp.bfloat16)
+    bias = rng.standard_normal((512,)).astype(np.float32)
+    step = np.asarray(7, np.int32)
+    tree = {"m": {"kernel": kernel, "bias": bias}, "k16": kb16, "step": step}
+
+    out = _quantized_device_put(tree)
+    assert out["m"]["kernel"].dtype == jnp.float32
+    assert out["k16"].dtype == jnp.bfloat16
+    # exact passthrough for small/int leaves
+    np.testing.assert_array_equal(np.asarray(out["m"]["bias"]), bias)
+    assert int(out["step"]) == 7
+    # per-channel error bound: half a quantization step = amax/254
+    amax = np.max(np.abs(kernel), axis=0, keepdims=True)
+    err = np.abs(np.asarray(out["m"]["kernel"]) - kernel)
+    assert np.all(err <= amax / 254.0 + 1e-7)
+    # bf16 kernel: half an int8 step (amax/254) + a bf16 ulp at amax
+    # magnitude (~amax/256) => bound ~amax/127
+    err16 = np.abs(np.asarray(out["k16"], np.float32) - np.asarray(kb16, np.float32))
+    amax16 = np.max(np.abs(np.asarray(kb16, np.float32)), axis=0, keepdims=True)
+    assert np.all(err16 <= amax16 / 100.0)
+
+
+def test_quantized_upload_pipeline_quality():
+    """End-to-end quality gate for the int8 upload: the tiny pipeline with
+    int8-quantized params generates a video within a few dB of the exact-
+    params video (same seed). Guards against a quantizer bug that passes the
+    leaf-level roundtrip but wrecks generation."""
+    import numpy as np
+
+    from vexpress_tpu.io.loaders import _quantized_device_put
+    from .utils import make_tiny_pipeline
+
+    pipe = make_tiny_pipeline()
+    rng = np.random.default_rng(5)
+    H = W = 64
+    L = 8
+    kwargs = dict(
+        reference_image=rng.uniform(size=(H, W, 3)).astype(np.float32),
+        kps_images=rng.uniform(size=(L, H, W, 3)).astype(np.float32),
+        audio_waveform=rng.normal(size=(4266,)).astype(np.float32),
+        width=W, height=H, video_length=L,
+        num_inference_steps=2, guidance_scale=2.0,
+        context_frames=8, context_overlap=4,
+    )
+    exact = np.asarray(pipe(**kwargs))
+    pipe.params = _quantized_device_put(pipe.params)
+    quant = np.asarray(pipe(**kwargs))
+    mse = float(np.mean((exact - quant) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"int8 upload changed generation too much: {psnr:.1f} dB"

@@ -48,6 +48,14 @@ from ..utils.runtime import phase, with_compile_retries
 LATENT_SCALE = 0.18215
 
 
+@functools.lru_cache(maxsize=1)
+def _stream_barrier():
+    """Tiny jitted program used as an execution-stream barrier (compiled once
+    per process): device_get of its result implies all previously enqueued
+    programs have retired on the single TPU stream."""
+    return jax.jit(lambda: jnp.zeros(()))
+
+
 def build_blended_denoise_step(
     predict_fn,
     scheduler: DDIMScheduler,
@@ -156,6 +164,16 @@ class VExpressPipeline:
     # per-block compiled programs are expensive to rebuild and never stale).
     _PARAMS_BOUND_CACHE_PREFIXES = ("unet_params_repl", "group", "fused", "sharded")
 
+    # Every static-self jitted method whose trace captures param buffers as
+    # compile-time constants: after a params reassignment their cached
+    # executables would silently serve the OLD weights and pin them in HBM
+    # (ADVICE r4 #1). Cleared (class-wide) by the params setter.
+    _PARAMS_BOUND_JIT_METHODS = (
+        "_encode_reference", "_reference_features", "_kps_features",
+        "_kps_features_window", "_audio_tokens", "_wav2vec2_encode_prenorm",
+        "_audio_projection_chunk", "_decode_chunk",
+    )
+
     @property
     def params(self) -> Dict[str, Any]:
         return self._params
@@ -169,6 +187,8 @@ class VExpressPipeline:
                  and k[0] in self._PARAMS_BOUND_CACHE_PREFIXES]
         for k in stale:
             del self._step_cache[k]
+        for meth in self._PARAMS_BOUND_JIT_METHODS:
+            getattr(type(self), meth).clear_cache()
         # host copies of releasable conditioning modules (see
         # release_conditioning_params) belong to the previous tree
         self._host_cond_params: Dict[str, Any] = {}
@@ -194,7 +214,15 @@ class VExpressPipeline:
         fetched here as a fallback) so the next `__call__` restores them in
         one batched upload. The denoising_unet subtree is untouched, so the
         params-bound step caches stay valid (mutated in place, no gen bump).
-        Note: clearing the conditioning jit caches is class-wide."""
+        Note: clearing the conditioning jit caches is class-wide.
+
+        Serialization: leaf.delete() must not race an in-flight conditioning
+        program still reading these buffers, and block_until_ready is
+        unreliable through the axon tunnel (CLAUDE.md) — so this method runs
+        its OWN barrier: device_get of a fresh trivial program, which on the
+        single TPU execution stream implies every previously enqueued program
+        has retired (ADVICE r4 #2)."""
+        jax.device_get(_stream_barrier()())
         host = getattr(self, "_host_cond_params", None)
         if host is None:
             host = self._host_cond_params = {}

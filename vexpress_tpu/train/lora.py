@@ -255,10 +255,19 @@ def lora_from_torch_state_dict(sd: Dict[str, Any], params: Dict[str, Any],
 
 
 def load_and_merge_lora(params: Dict[str, Any], path: str,
-                        scale: Optional[float] = None) -> Dict[str, Any]:
+                        scale: Optional[float] = None,
+                        host_params: Optional[Dict[str, Any]] = None):
     """Inference-time adapter loading (cli/infer.py --lora_path): read a
     peft-layout checkpoint, validate it against the base params, and return
-    the merged tree. `scale` overrides the checkpoint's alpha/rank."""
+    the merged tree. `scale` overrides the checkpoint's alpha/rank.
+
+    `host_params`: optional dict of HOST (numpy) copies of some top-level
+    modules (the save_memory release/restore stash,
+    pipeline._host_cond_params). When given, returns `(merged, merged_host)`
+    where adapter-touched entries of `host_params` were merged ON HOST with
+    plain numpy (merge_lora stays numpy on numpy inputs) — so releasing an
+    adapted conditioning module later never needs the minutes-long
+    device->host fallback (ADVICE r4: ~1.6 GB at ~10 MB/s)."""
     from ..io.torch_import import load_torch_checkpoint
 
     tree, alpha = lora_from_torch_state_dict(load_torch_checkpoint(path), params)
@@ -280,7 +289,14 @@ def load_and_merge_lora(params: Dict[str, Any], path: str,
     merged = jax.jit(lambda p, l: merge_lora(p, l, s))(touched, tree)
     out = dict(params)
     out.update(merged)
-    return out
+    if host_params is None:
+        return out
+    # numpy adapter factors so the host merge never touches a device
+    tree_np = jax.tree_util.tree_map(np.asarray, tree)
+    host_out = {
+        k: (merge_lora({k: v}, {k: tree_np[k]}, s)[k] if k in tree_np else v)
+        for k, v in host_params.items()}
+    return out, host_out
 
 
 # ------------------------------------------------------------ trainers
