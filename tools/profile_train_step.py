@@ -137,6 +137,26 @@ def main():
 
     print(json.dumps({k: round(v, 3) for k, v in t.items()}), flush=True)
 
+    # ---- analytic MFU vs the fwd+bwd FLOP floor (VERDICT r4 #7).
+    # Denoiser fwd FLOPs scale ~linearly in batch*frames (spatial convs +
+    # attention dominate; temporal attn is ~2% at these sizes): the XLA-cost-
+    # model window step (CFG batch 2 x 24 frames, tools/unet_step_flops.py)
+    # = 47,568.5 GFLOP -> 990.8 GFLOP per frame-instance. Backward ~2x
+    # forward (dgrad through every layer + wgrad on trainable). Refnet fwd
+    # (frozen in stage 2) ~0.8x one frame; VAE encodes (f+1 frames) ~minor.
+    per_frame = 47568.5 / 48.0
+    fwd = per_frame * b * f
+    train_flops_g = 3.0 * fwd + 0.8 * per_frame * b + 0.1 * fwd
+    whole = float(np.median(times))
+    print(json.dumps({
+        "analytic_train_flops_gflop": round(train_flops_g, 1),
+        "median_step_s": round(whole, 3),
+        "achieved_tflops": round(train_flops_g / whole / 1000.0, 2),
+        "mfu_pct_vs_v5e_bf16_peak": round(
+            train_flops_g / whole / 1000.0 / 197.0 * 100.0, 2),
+        "s_per_frame": round(whole / (b * f), 3),
+    }), flush=True)
+
 
 if __name__ == "__main__":
     main()
