@@ -52,7 +52,8 @@ def test_decode_latents_pipelined_filter_every_tail_length():
     from vexpress_tpu.pipelines.pipeline import VExpressPipeline
 
     obj = types.SimpleNamespace(
-        _decode_chunk=lambda sl: sl,
+        params={"vae": None},
+        _decode_chunk=lambda p_vae, sl: sl,
         _to_uint8=jax.jit(
             lambda v: (jnp.clip(v.astype(jnp.float32), 0, 1) * 255).astype(jnp.uint8)
         ),

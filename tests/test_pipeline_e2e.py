@@ -201,12 +201,14 @@ def test_shape_bucketing_conditioning(tiny_pipeline):
     L, H, W = 12, 64, 64
 
     kps = jnp.asarray(rng.uniform(size=(L, H, W, 3)).astype(np.float32))
-    a = tiny_pipeline._kps_features(kps)
+    a = tiny_pipeline._kps_features(tiny_pipeline.params["v_kps_guider"], kps)
     b = tiny_pipeline._kps_features_chunked(kps, chunk=5)
     np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6)
 
     wf = rng.normal(size=(6400,)).astype(np.float32)
-    tok_exact = tiny_pipeline._audio_tokens(jnp.asarray(wf), L, 2)
+    tok_exact = tiny_pipeline._audio_tokens(
+        tiny_pipeline.params["wav2vec2"], tiny_pipeline.params["audio_projection"],
+        jnp.asarray(wf), L, 2)
     tok_nopad = tiny_pipeline._audio_tokens_bucketed(wf, L, 2, bucket_s=6400 / 16000,
                                                      proj_chunk=5)
     np.testing.assert_allclose(np.asarray(tok_nopad), np.asarray(tok_exact),
@@ -595,11 +597,10 @@ def test_params_reload_evicts_stale_step_closures(tiny_pipeline):
 
 
 def test_params_reload_refreshes_conditioning_jits(tiny_pipeline):
-    """ADVICE r4 #1: the static-self conditioning jits (_reference_features,
-    _audio_tokens, _encode_reference, ...) capture param buffers as compile-
-    time CONSTANTS; the params setter must clear their caches, otherwise a
-    reloaded checkpoint denoises with stale conditioning (and pins the old
-    buffers in device memory)."""
+    """ADVICE r4 #1 (root-caused in round 5): conditioning jits take their
+    param subtrees as ARGUMENTS, so a reloaded checkpoint's conditioning must
+    flow through immediately — this guards the property that no conditioning
+    path serves stale weights after `pipe.params = new_params`."""
     rng = np.random.default_rng(23)
     H = W = 64
     L = 8

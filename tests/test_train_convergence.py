@@ -27,8 +27,11 @@ def _overfit(tiny_pipeline, stage, steps, lr=2e-3):
 
     cfg = TrainConfig.stage(stage, learning_rate=lr, num_frames=2,
                             uncond_ratio=0.0)  # no dropout: deterministic
-    params = stage_zero_init(tiny_pipeline.params, stage)
-    tiny_pipeline.params = params
+    # COPY the fixture's params: the trainer's update program donates the
+    # old param buffers each step -- training on the fixture's own arrays
+    # would delete them for every later test in the module
+    params = jax.tree.map(lambda x: jnp.array(x),
+                          stage_zero_init(tiny_pipeline.params, stage))
     tx, mask = make_optimizer(params, cfg)
     trainer = PiecewiseTrainer(tiny_pipeline, cfg, tx, mask=mask)
     state = TrainState(params, tx.init(mask_tree(params, mask)),

@@ -164,15 +164,12 @@ class VExpressPipeline:
     # per-block compiled programs are expensive to rebuild and never stale).
     _PARAMS_BOUND_CACHE_PREFIXES = ("unet_params_repl", "group", "fused", "sharded")
 
-    # Every static-self jitted method whose trace captures param buffers as
-    # compile-time constants: after a params reassignment their cached
-    # executables would silently serve the OLD weights and pin them in HBM
-    # (ADVICE r4 #1). Cleared (class-wide) by the params setter.
-    _PARAMS_BOUND_JIT_METHODS = (
-        "_encode_reference", "_reference_features", "_kps_features",
-        "_kps_features_window", "_audio_tokens", "_wav2vec2_encode_prenorm",
-        "_audio_projection_chunk", "_decode_chunk",
-    )
+    # NOTE: the conditioning/decode jits take their param subtrees as
+    # ARGUMENTS (see the block comment above `_encode_reference`), so a
+    # params reassignment can never serve stale weights through them and
+    # their executables never pin param buffers (ADVICE r4 #1, resolved at
+    # the root in round 5) — only the step closures above bind params at
+    # build time and need eviction here.
 
     @property
     def params(self) -> Dict[str, Any]:
@@ -187,8 +184,6 @@ class VExpressPipeline:
                  and k[0] in self._PARAMS_BOUND_CACHE_PREFIXES]
         for k in stale:
             del self._step_cache[k]
-        for meth in self._PARAMS_BOUND_JIT_METHODS:
-            getattr(type(self), meth).clear_cache()
         # host copies of releasable conditioning modules (see
         # release_conditioning_params) belong to the previous tree
         self._host_cond_params: Dict[str, Any] = {}
@@ -198,15 +193,13 @@ class VExpressPipeline:
     # The reference's --save_gpu_memory deletes the reference net, kps guider
     # and audio projection after conditioning (v_express_pipeline.py:473-483,
     # 510-511) so the denoise loop runs with only the 3D UNet + VAE resident.
-    # TPU analog: drop the device copies of the conditioning-only subtrees and
-    # clear the jitted conditioning programs — their executables embed the
-    # param buffers as compile-time constants (static `self`), so without the
-    # cache clear the HBM never frees. The persistent compilation cache makes
-    # the eventual re-trace cheap. The kps guider is NOT releasable: under
-    # save_memory the streamed path runs it per window group DURING the loop.
+    # TPU analog: drop the device copies of the conditioning-only subtrees.
+    # The conditioning jits take params as ARGUMENTS (round 5), so their
+    # executables never embed or pin the buffers — deleting the leaves frees
+    # the HBM directly, no cache clearing needed. The kps guider is NOT
+    # releasable: under save_memory the streamed path runs it per window
+    # group DURING the loop.
     _RELEASABLE_COND_MODULES = ("reference_net", "wav2vec2", "audio_projection")
-    _COND_JIT_METHODS = ("_reference_features", "_audio_tokens",
-                         "_wav2vec2_encode_prenorm", "_audio_projection_chunk")
 
     def release_conditioning_params(self) -> float:
         """Free the conditioning-only module params from HBM; returns MiB
@@ -214,7 +207,6 @@ class VExpressPipeline:
         fetched here as a fallback) so the next `__call__` restores them in
         one batched upload. The denoising_unet subtree is untouched, so the
         params-bound step caches stay valid (mutated in place, no gen bump).
-        Note: clearing the conditioning jit caches is class-wide.
 
         Serialization: leaf.delete() must not race an in-flight conditioning
         program still reading these buffers, and block_until_ready is
@@ -238,8 +230,6 @@ class VExpressPipeline:
             self._params[name] = None
         if not released:
             return 0.0
-        for meth in self._COND_JIT_METHODS:
-            getattr(type(self), meth).clear_cache()
         freed = 0
         for sub in released:
             for leaf in jax.tree_util.tree_leaves(sub):
@@ -267,17 +257,27 @@ class VExpressPipeline:
 
     # ------------------------------------------------------------ precompute
 
+    # NOTE (round 5): every conditioning jit takes its param subtree as an
+    # ARGUMENT. Closure-capturing `self.params[...]` under a static-self jit
+    # embeds the weights as HLO constants — executables pin the buffers in
+    # HBM, persistent-cache entries balloon to the size of the weights
+    # (211 MB for the VAE encode alone), and a FRESH PROCESS pays minutes
+    # re-loading them through the compile service (measured: the bucketed
+    # audio stack cost 175.8 s process-cold vs 0.1 s warm). With params as
+    # arguments the programs are small, load in seconds, never pin params,
+    # and never serve stale weights after a checkpoint reload.
+
     @functools.partial(jax.jit, static_argnums=0)
-    def _encode_reference(self, image: jax.Array) -> jax.Array:
+    def _encode_reference(self, p_vae, image: jax.Array) -> jax.Array:
         """(H, W, 3) in [0,1] -> scaled latent (1, h, w, 4)."""
         x = image[None] * 2.0 - 1.0
-        return self.vae.apply(self.params["vae"], x, method=AutoencoderKL.encode) * LATENT_SCALE
+        return self.vae.apply(p_vae, x, method=AutoencoderKL.encode) * LATENT_SCALE
 
-    @functools.partial(jax.jit, static_argnums=(0, 2))
-    def _reference_features(self, ref_latent: jax.Array, do_cfg: bool):
+    @functools.partial(jax.jit, static_argnums=(0, 3))
+    def _reference_features(self, p_ref, ref_latent: jax.Array, do_cfg: bool):
         ctx = jnp.zeros((1, 1, self.m.unet_config.cross_attention_dim), self.m.dtype)
         _, feats = self.reference_net.apply(
-            self.params["reference_net"], ref_latent, jnp.zeros((1,), jnp.int32), ctx
+            p_ref, ref_latent, jnp.zeros((1,), jnp.int32), ctx
         )
         if do_cfg:
             feats = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
@@ -291,23 +291,23 @@ class VExpressPipeline:
             self._piecewise_runner = PiecewiseUNetRunner(self.m.unet_config, dtype=self.m.dtype)
         return self._piecewise_runner
 
-    def _reference_features_piecewise(self, ref_latent: jax.Array, do_cfg: bool):
+    def _reference_features_piecewise(self, p_ref, ref_latent: jax.Array, do_cfg: bool):
         ctx = jnp.zeros((1, 1, self.m.unet_config.cross_attention_dim), self.m.dtype)
         _, feats = self.piecewise_runner.reference_net(
-            self.params["reference_net"], ref_latent, jnp.zeros((1,), jnp.int32), ctx
+            p_ref, ref_latent, jnp.zeros((1,), jnp.int32), ctx
         )
         if do_cfg:
             feats = tuple(jnp.concatenate([jnp.zeros_like(f), f], axis=0) for f in feats)
         return feats
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _kps_features(self, kps_images: jax.Array) -> jax.Array:
+    def _kps_features(self, p_guider, kps_images: jax.Array) -> jax.Array:
         """(L, H, W, 3) in [0,1] float — or raw uint8, normalized on device
         (uint8 upload is 4x less host->device traffic; the axon tunnel moves
         ~50 MB/s up) -> (L, h, w, 320)."""
         if kps_images.dtype == jnp.uint8:
             kps_images = kps_images.astype(self.m.dtype) / 255.0
-        feats = self.v_kps_guider.apply(self.params["v_kps_guider"], kps_images[None])
+        feats = self.v_kps_guider.apply(p_guider, kps_images[None])
         return feats[0]
 
     def _kps_features_chunked(self, kps_images: jax.Array, chunk: int = 32) -> jax.Array:
@@ -315,29 +315,31 @@ class VExpressPipeline:
         (frames folded into batch), so processing fixed-size frame chunks is
         EXACT and reuses one compiled program for every clip length — instead
         of a minutes-long remote recompile per new video_length."""
+        p = self.params["v_kps_guider"]
         n = kps_images.shape[0]
         if n <= chunk:
-            return self._kps_features(kps_images)
+            return self._kps_features(p, kps_images)
         outs = []
         for i in range(0, n, chunk):
             sl = kps_images[i : i + chunk]
             if sl.shape[0] < chunk:
                 pad = chunk - sl.shape[0]
                 sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
-                outs.append(self._kps_features(sl)[: chunk - pad])
+                outs.append(self._kps_features(p, sl)[: chunk - pad])
             else:
-                outs.append(self._kps_features(sl))
+                outs.append(self._kps_features(p, sl))
         return jnp.concatenate(outs, axis=0)
 
-    @functools.partial(jax.jit, static_argnums=(0, 2, 3))
-    def _audio_tokens(self, waveform: jax.Array, video_length: int, num_pad: int) -> jax.Array:
+    @functools.partial(jax.jit, static_argnums=(0, 4, 5))
+    def _audio_tokens(self, p_w2v, p_aproj, waveform: jax.Array,
+                      video_length: int, num_pad: int) -> jax.Array:
         """(T,) -> (L, tokens, cross_dim)."""
-        emb = self.audio_encoder.apply(self.params["wav2vec2"], waveform[None])[0]
+        emb = self.audio_encoder.apply(p_w2v, waveform[None])[0]
         windows = audio_frame_windows(emb, video_length, num_pad)
-        return self.audio_projection.apply(self.params["audio_projection"], windows)
+        return self.audio_projection.apply(p_aproj, windows)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _kps_features_window(self, kps_frames: jax.Array) -> jax.Array:
+    def _kps_features_window(self, p_guider, kps_frames: jax.Array) -> jax.Array:
         """(g, win, H, W, 3) raw frames (uint8 or float in [0,1]) -> guider
         features (g, win, h, w, C). The save_memory path computes conditioning
         per window group ON THE FLY: the guider is per-frame (frames folded
@@ -350,7 +352,7 @@ class VExpressPipeline:
             x = x.astype(self.m.dtype) / 255.0
         else:
             x = x.astype(self.m.dtype)  # match the full-video upload dtype
-        feats = self.v_kps_guider.apply(self.params["v_kps_guider"], x[None])[0]
+        feats = self.v_kps_guider.apply(p_guider, x[None])[0]
         return feats.reshape((g, win) + feats.shape[1:])
 
     def _kps_window_features_sharded(self, kps_raw_np, win_idx_np, mesh, chunk: int = 4):
@@ -372,8 +374,9 @@ class VExpressPipeline:
         dt = self.m.dtype
         ch = chunk if nw >= chunk else nw
 
+        p_guider = self.params["v_kps_guider"]
         probe = jax.eval_shape(
-            lambda x: self._kps_features_window(x),
+            lambda x: self._kps_features_window(p_guider, x),
             jax.ShapeDtypeStruct((ch, win, H, W, kps_raw_np.shape[-1]), jnp.uint8
                                  if kps_raw_np.dtype == np.uint8 else dt))
         buf = jax.device_put(
@@ -394,23 +397,24 @@ class VExpressPipeline:
             rows = win_idx_np[s : s + ch]
             raw = jnp.asarray(kps_raw_np[rows])  # (ch, win, H, W, 3) upload
             feats = with_compile_retries(
-                self._kps_features_window, raw, label="windowed kps guider")
+                self._kps_features_window, p_guider, raw,
+                label="windowed kps guider")
             buf = set_rows(buf, feats, jnp.asarray(s, jnp.int32))
         return buf
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _wav2vec2_encode_prenorm(self, waveform: jax.Array) -> jax.Array:
+    def _wav2vec2_encode_prenorm(self, p_w2v, waveform: jax.Array) -> jax.Array:
         """(1, T_bucket) pre-normalized waveform -> (T', hidden)."""
         import dataclasses as _dc
 
         model = Wav2Vec2Model(
             _dc.replace(self.m.wav2vec2_config, do_normalize=False), dtype=self.m.dtype
         )
-        return model.apply(self.params["wav2vec2"], waveform)[0]
+        return model.apply(p_w2v, waveform)[0]
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _audio_projection_chunk(self, windows: jax.Array) -> jax.Array:
-        return self.audio_projection.apply(self.params["audio_projection"], windows)
+    def _audio_projection_chunk(self, p_aproj, windows: jax.Array) -> jax.Array:
+        return self.audio_projection.apply(p_aproj, windows)
 
     def _audio_tokens_bucketed(
         self,
@@ -448,24 +452,26 @@ class VExpressPipeline:
             wf = np.tile(wf, reps)[:t_pad]
         n_true = self.m.wav2vec2_config.num_output_frames(t_true)
 
-        emb = self._wav2vec2_encode_prenorm(jnp.asarray(wf, self.m.dtype)[None])
+        emb = self._wav2vec2_encode_prenorm(
+            self.params["wav2vec2"], jnp.asarray(wf, self.m.dtype)[None])
         emb = emb[:n_true]
 
         windows = audio_frame_windows(emb, video_length, num_pad)  # eager, host-driven
+        p_aproj = self.params["audio_projection"]
         outs = []
         for i in range(0, video_length, proj_chunk):
             sl = windows[i : i + proj_chunk]
             if sl.shape[0] < proj_chunk:
                 pad = proj_chunk - sl.shape[0]
                 sl = jnp.concatenate([sl, jnp.zeros((pad,) + sl.shape[1:], sl.dtype)])
-                outs.append(self._audio_projection_chunk(sl)[: proj_chunk - pad])
+                outs.append(self._audio_projection_chunk(p_aproj, sl)[: proj_chunk - pad])
             else:
-                outs.append(self._audio_projection_chunk(sl))
+                outs.append(self._audio_projection_chunk(p_aproj, sl))
         return jnp.concatenate(outs, axis=0)
 
     @functools.partial(jax.jit, static_argnums=0)
-    def _decode_chunk(self, latents: jax.Array) -> jax.Array:
-        img = self.vae.apply(self.params["vae"], latents / LATENT_SCALE, method=AutoencoderKL.decode)
+    def _decode_chunk(self, p_vae, latents: jax.Array) -> jax.Array:
+        img = self.vae.apply(p_vae, latents / LATENT_SCALE, method=AutoencoderKL.decode)
         return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
 
     @functools.partial(jax.jit, static_argnums=0)
@@ -523,7 +529,8 @@ class VExpressPipeline:
             core = sl.shape[0]
             if core < chunk:  # pad to keep one compiled shape
                 sl = jnp.concatenate([sl, jnp.zeros((chunk - core,) + sl.shape[1:], sl.dtype)])
-            return with_compile_retries(self._decode_chunk, sl, label="vae decode"), core
+            return with_compile_retries(self._decode_chunk, self.params["vae"], sl,
+                                        label="vae decode"), core
 
         if (as_uint8 or as_yuv420) and not (median_filter and n <= 2):
             # fully pipelined: decode chunk i+1 is enqueued before chunk i's
@@ -788,7 +795,8 @@ class VExpressPipeline:
                     raw = (raw_groups[gi] if raw_groups is not None
                            else jnp.asarray(kps_raw_host[win_idx[gi]]))
                     kps_arg = with_compile_retries(
-                        self._kps_features_window, raw,
+                        self._kps_features_window,
+                        self.params["v_kps_guider"], raw,
                         label="windowed kps guider")
                 else:
                     kps_arg = kps_feat
@@ -1121,7 +1129,8 @@ class VExpressPipeline:
         verbose = progress_callback is not None
         with phase("encode reference latent", verbose):
             ref_latent = with_compile_retries(
-                self._encode_reference, jnp.asarray(reference_image, dt), label="vae encode")
+                self._encode_reference, self.params["vae"],
+                jnp.asarray(reference_image, dt), label="vae encode")
             ref_latent.block_until_ready()
         if piecewise is None:
             piecewise = jax.default_backend() == "tpu"
@@ -1131,7 +1140,9 @@ class VExpressPipeline:
             shape_bucketing = jax.default_backend() == "tpu"
         with phase("reference-net features", verbose):
             ref_fn = self._reference_features_piecewise if piecewise else self._reference_features
-            ref_feats = with_compile_retries(ref_fn, ref_latent, do_cfg, label="reference net")
+            ref_feats = with_compile_retries(
+                ref_fn, self.params["reference_net"], ref_latent, do_cfg,
+                label="reference net")
             ref_feats[0].block_until_ready()
         kps_feat = None
         if not save_memory:
@@ -1141,7 +1152,8 @@ class VExpressPipeline:
                         self._kps_features_chunked, kps_dev, label="kps guider")
                 else:
                     kps_feat = with_compile_retries(
-                        self._kps_features, kps_dev, label="kps guider")
+                        self._kps_features, self.params["v_kps_guider"],
+                        kps_dev, label="kps guider")
                 kps_feat.block_until_ready()
         with phase("audio tokens", verbose):
             if shape_bucketing:
@@ -1149,7 +1161,9 @@ class VExpressPipeline:
                     np.asarray(audio_waveform), video_length, num_pad_audio_frames)
             else:
                 audio_tok = with_compile_retries(
-                    self._audio_tokens, jnp.asarray(audio_waveform, dt), video_length,
+                    self._audio_tokens, self.params["wav2vec2"],
+                    self.params["audio_projection"],
+                    jnp.asarray(audio_waveform, dt), video_length,
                     num_pad_audio_frames, label="audio encoder")
             audio_tok.block_until_ready()
 
