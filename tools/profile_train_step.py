@@ -41,7 +41,10 @@ def main():
 
     t0 = time.time()
     models = default_pipeline_models(dtype=jnp.bfloat16)
-    pipe = load_pipeline(models=models, verbose=False, param_dtype=jnp.float32)
+    # bf16 param storage: fp32 params are 9.3 GB and OOM the 16 GB chip once
+    # Adam state + piecewise block-boundary activations land (measured r5);
+    # production TPU training stores bf16 (cli/train.py weight_dtype)
+    pipe = load_pipeline(models=models, verbose=False, param_dtype=jnp.bfloat16)
     print(f"# startup {time.time() - t0:.1f}s", file=sys.stderr, flush=True)
 
     cfg = TrainConfig.stage(f"stage_{args.stage}", num_frames=args.frames,
