@@ -12,11 +12,11 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: the suite is dominated by CPU compiles of
-# grad programs; repeat runs hit the on-disk cache instead. The dir is keyed
-# per machine — CPU AOT entries from another sandbox are rejected by
-# cpu_aot_loader (machine-feature mismatch), so a shared dir only wastes time
-# failing to load them.
-from vexpress_tpu.utils.runtime import enable_compilation_cache, machine_cpu_cache_dir  # noqa: E402
+# NO persistent compilation cache on CPU (r5): this sandbox's virtualized
+# host reports UNSTABLE cpu features between processes on the same boot, so
+# XLA:CPU AOT cache loads warn constantly and SEGFAULTED the round gate.
+# enable_compilation_cache() is a no-op on CPU unless VEXPRESS_COMP_CACHE is
+# set explicitly; the in-process jit cache covers within-run reuse.
+from vexpress_tpu.utils.runtime import enable_compilation_cache  # noqa: E402
 
-enable_compilation_cache(os.environ.get("VEXPRESS_COMP_CACHE") or machine_cpu_cache_dir())
+enable_compilation_cache()

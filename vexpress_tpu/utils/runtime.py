@@ -38,13 +38,22 @@ def enable_compilation_cache(path: str = None) -> None:
     path = path or os.environ.get("VEXPRESS_COMP_CACHE")
     if path is None:
         # TPU executables are target-keyed and shareable; XLA:CPU AOT entries
-        # are machine-keyed and REJECTED cross-host (see machine_cpu_cache_dir)
+        # embed the COMPILE-TIME detected CPU features and the loader rejects
+        # mismatches — and on this sandbox's virtualized host the detection
+        # itself is unstable BETWEEN PROCESSES ON THE SAME BOOT (r5: constant
+        # "+prefer-no-scatter not supported on the host machine" warnings,
+        # then a hard SEGFAULT inside cpu_aot_loader during the round gate).
+        # The in-process jit cache already dedupes within a run and every CPU
+        # consumer (tests, dryrun) is engineered to run cold within budget,
+        # so the CPU disk cache bought little and cost a crash class: default
+        # it OFF. Opt back in with VEXPRESS_COMP_CACHE=<dir>.
         try:
             platform = jax.default_backend()
         except Exception:
             platform = "unknown"
-        path = (machine_cpu_cache_dir() if platform == "cpu"
-                else "/root/.cache/jax_comp_cache")
+        if platform == "cpu":
+            return
+        path = "/root/.cache/jax_comp_cache"
     os.makedirs(path, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", path)
