@@ -12,12 +12,18 @@
 set -e
 cd "$(dirname "$0")"
 export PYTHONPATH="$PWD:/root/.axon_site"
+# XLA:CPU compiles of the big sharded train-step programs can overflow the
+# default 8 MB stack (r5: segfault inside backend_compile_and_load at the
+# ~130th test of a single pytest process)
+ulimit -s unlimited 2>/dev/null || true
 
 echo "== gate 1/3: undefined-name lint =="
 python tools/lint_names.py
 
-echo "== gate 2/3: full test suite =="
-python -m pytest tests/ -q
+echo "== gate 2/3: full test suite (two processes: the dp=8 train-step
+  compiles run in a fresh process -- keeps any one XLA:CPU process small) =="
+python -m pytest tests/ -q   --ignore tests/test_sharded_checkpoint.py   --ignore tests/test_train_convergence.py
+python -m pytest tests/test_sharded_checkpoint.py tests/test_train_convergence.py -q
 
 if [ "${GATE_SKIP_MULTICHIP:-0}" != "1" ]; then
   echo "== gate 3/3: multichip dryrun (8 virtual devices) =="
